@@ -1,0 +1,175 @@
+"""Time integration: Williamson low-storage RK3 + the step/scan driver.
+
+The RK3 stage arithmetic mirrors ``lib/libprop.py:680-700`` exactly (the
+reference's object-dtype elementwise updates become pytree maps), including
+the reference behavior of passing the *full* dt to every stage's RHS
+(``lib/libprop.py:693-697`` — only online saturation consumes it; SURVEY.md
+quirk 6).
+
+The per-step driver logic of ``raytracer.py:157-191`` — pack, RK3, unpack,
+*offline* saturation with finite-difference rates — becomes :func:`step`,
+and the whole time loop becomes one ``jax.lax.scan`` (:func:`simulate`) with
+configurable history decimation, fully on-device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, RunConfig
+from ..state import Background, RayStatics, State, tree_axpy
+from ..ops.saturation import saturate_direct
+from .rhs import rhs as rhs_default
+from . import sources as _sources
+
+
+def rk3_step(
+    dt,
+    state: State,
+    statics: RayStatics,
+    bg: Background,
+    cfg: ModelConfig,
+    axis_name: Optional[str] = None,
+    rhs: Callable = rhs_default,
+) -> State:
+    """One Williamson RK3 step (coefficients per ``lib/libprop.py:693-698``):
+
+        q = dt f(v);             v += q/3
+        q = dt f(v) − 5/9 q;     v += 15/16 q
+        q = dt f(v) − 153/128 q; v += 8/15 q
+    """
+    f = lambda s: rhs(dt, s, statics, bg, cfg, axis_name)
+
+    q = jax.tree.map(lambda t: dt * t, f(state))
+    # stage 1 adds qq/3 via *division* exactly like lib/libprop.py:694
+    state = jax.tree.map(lambda qq, v: v + qq / 3.0, q, state)
+    q = jax.tree.map(lambda t, qq: dt * t - 5.0 / 9.0 * qq, f(state), q)
+    state = tree_axpy(15.0 / 16.0, q, state)
+    q = jax.tree.map(lambda t, qq: dt * t - 153.0 / 128.0 * qq, f(state), q)
+    state = tree_axpy(8.0 / 15.0, q, state)
+    return state
+
+
+class StepAux(NamedTuple):
+    """Per-step side-channel: the *propagated* (pre-offline-saturation)
+    density, mirroring ``int_dens_prop`` (``raytracer.py:126,178``)."""
+
+    dens_prop: jax.Array
+
+
+def step(
+    dt,
+    state: State,
+    statics: RayStatics,
+    bg: Background,
+    cfg: ModelConfig,
+    axis_name: Optional[str] = None,
+    rhs: Callable = rhs_default,
+):
+    """One full model step: RK3, then (when ``saturate_online`` is off) the
+    driver-side *offline* direct saturation of ``raytracer.py:182-188``,
+    then optional culling/relaunch (build-side; mask ops only).
+
+    Returns ``(new_state, new_statics, aux)``.
+    """
+    prev = state
+    state = rk3_step(dt, state, statics, bg, cfg, axis_name, rhs)
+    aux = StepAux(dens_prop=state.rays.dens)
+
+    if not cfg.saturate_online:
+        rays, prev_rays = state.rays, prev.rays
+        # FD rates across the step (raytracer.py:184-187).  Reference quirk
+        # 2: the height rate is divided by 1, not dt (raytracer.py:184).
+        r_div = 1.0 if cfg.faithful_offline_rates else dt
+        dens = saturate_direct(
+            dt,
+            rays.dens,
+            prev_rays.r,
+            (rays.r - prev_rays.r) / r_div,
+            prev_rays.dr,
+            (rays.dr - prev_rays.dr) / dt,
+            rays.k,
+            rays.l,
+            prev_rays.m,
+            (rays.m - prev_rays.m) / dt,
+            statics.dkk,
+            statics.dll,
+            statics.rr_mm_area,
+            bg.centers,
+            bg.rhobar,
+            cfg.bvf,
+            cfg.kappa,
+            cfg.phi0,
+            faithful=cfg.faithful_saturation,
+            active=statics.active,
+        )
+        state = state._replace(rays=rays._replace(dens=dens))
+
+    if cfg.cull:
+        state, statics = _sources.cull(state, statics, bg, cfg)
+
+    return state, statics, aux
+
+
+def simulate(
+    state: State,
+    statics: RayStatics,
+    bg: Background,
+    cfg: ModelConfig,
+    run: RunConfig,
+    observe: Optional[Callable] = None,
+    source=None,
+    relaunch_every: int = 1,
+    axis_name: Optional[str] = None,
+    rhs: Callable = rhs_default,
+):
+    """Run ``run.n_steps`` steps as one ``lax.scan``, recording an
+    observation every ``run.save_every`` steps.
+
+    ``observe(state, statics, aux) -> pytree`` selects what is stacked into
+    the history (default: the full state + activity mask + dens_prop —
+    equivalent to the reference's full in-RAM history,
+    ``raytracer.py:124-150``; pass a slimmer observable for big runs).
+
+    ``source`` (a ``(RayState, RayStatics)`` template from
+    :mod:`msgwam_tpu.models.sources`) enables relaunch of culled slots every
+    ``relaunch_every`` steps.
+
+    Returns ``(final_state, final_statics, history)`` where every history
+    leaf has leading axis ``n_steps // save_every``.
+    """
+    if observe is None:
+        observe = lambda s, st, aux: (s, st.active, aux.dens_prop)
+    if run.n_steps % run.save_every != 0:
+        raise ValueError("n_steps must be divisible by save_every")
+    n_outer = run.n_steps // run.save_every
+
+    def inner(carry, i):
+        st, stat = carry
+        st, stat, aux = step(run.dt, st, stat, bg, cfg, axis_name, rhs)
+        if cfg.relaunch and source is not None:
+            do = (i % relaunch_every) == 0 if relaunch_every > 1 else True
+            if relaunch_every > 1:
+                st, stat = jax.lax.cond(
+                    do,
+                    lambda: _sources.relaunch(st, stat, source),
+                    lambda: (st, stat),
+                )
+            else:
+                st, stat = _sources.relaunch(st, stat, source)
+        return (st, stat), aux
+
+    def outer(carry, _):
+        (st, stat), aux = jax.lax.scan(
+            inner, carry, jnp.arange(run.save_every)
+        )
+        aux_last = jax.tree.map(lambda x: x[-1], aux)
+        return (st, stat), observe(st, stat, aux_last)
+
+    (state, statics), history = jax.lax.scan(
+        outer, (state, statics), None, length=n_outer
+    )
+    return state, statics, history

@@ -1,0 +1,180 @@
+"""Ray→grid projection: the hot kernel of the whole model.
+
+The reference implements this as a per-ray × per-cell Python double loop
+(``lib/libprop.py:92-221``) — it is where ~97% of the reference's runtime
+goes (SURVEY.md §6).  Here each ray volume's fractional overlap with grid
+cells becomes a statically-bounded sparse row of weights, and the deposition
+is a ``segment_sum`` scatter (XLA backend) or a dense block-matmul pallas
+kernel (TPU fast path, :mod:`msgwam_tpu.ops.projection_pallas`).
+
+Faithfully reproduced reference semantics (needed for bit-parity):
+
+* cell indices from the *origin-0* ratio ``r/dz``, truncated toward zero:
+  ``nlow = int(r_low/dz)``, ``nup = int(r_up/dz + 1)``
+  (``lib/libprop.py:123-125``) — even when projecting onto the staggered
+  grid whose first point is dz/2 (the reference does exactly this inside
+  ``rhs_default``, ``lib/libprop.py:654-658``);
+* clamping both indices to ``nzmax = len(grid) - 2`` so the top cell never
+  receives deposition, and the ``-99999`` out-of-domain sentinel
+  (``lib/libprop.py:127-135``) — here a boolean mask;
+* the *absolute value* of the overlap ``|min(grid[c+1], r_up) −
+  max(grid[c], r_low)|/dz`` (``lib/libprop.py:157-160``), which can deposit
+  spurious positive weight for cells the index arithmetic selects but the
+  grid values do not actually overlap (reference quirk — kept).
+
+Out-of-domain rays are masked but (like the reference) never deleted here;
+culling is a separate, optional pass (:mod:`msgwam_tpu.models.sources`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .dispersion import cg_r
+
+
+def _cell_spans(r_low, r_up, dz, n_points):
+    """Reference index arithmetic (``lib/libprop.py:121-135``).
+
+    Returns ``(nlow, nup, in_domain)`` with indices clamped to
+    ``[0, nzmax]`` and the out-of-domain mask already applied.
+    """
+    nzmax = n_points - 2
+    nlow = (r_low / dz).astype(jnp.int32)  # truncates toward zero, like numpy
+    nup = (r_up / dz + 1.0).astype(jnp.int32)
+    out_of_domain = ((nlow >= nzmax) & (nup >= nzmax)) | ((nlow <= 0) & (nup <= 0))
+    nlow = jnp.clip(nlow, 0, nzmax)
+    nup = jnp.clip(nup, 0, nzmax)
+    return nlow, nup, ~out_of_domain
+
+
+def projection_weights(r_low, r_up, valid, grid, max_span: int):
+    """Sparse overlap weights for every ray.
+
+    Returns ``(cells, weights)``, each ``(n, max_span)``: for ray ``i`` and
+    slot ``j``, ``weights[i, j]`` is the fractional-overlap weight of cell
+    ``cells[i, j]`` (a masked-off slot points at cell 0 with weight 0).
+
+    ``max_span`` is the static bound on cells-per-ray; any ray overlapping
+    more cells is truncated (choose ``max_span >= ceil(max dr/dz) + 1``).
+    """
+    n_points = grid.shape[0]
+    dz = grid[1] - grid[0]
+    nlow, nup, in_domain = _cell_spans(r_low, r_up, dz, n_points)
+    ok = in_domain if valid is None else (valid & in_domain)
+
+    j = jnp.arange(max_span, dtype=jnp.int32)
+    cells = nlow[:, None] + j[None, :]                      # (n, S)
+    live = ok[:, None] & (cells < nup[:, None])
+    cells = jnp.clip(cells, 0, n_points - 2)
+    zmin = jnp.maximum(grid[cells], r_low[:, None])
+    zmax = jnp.minimum(grid[cells + 1], r_up[:, None])
+    weights = jnp.where(live, jnp.abs(zmax - zmin) / dz, 0.0)
+    return cells, weights, live
+
+
+def project(values, r_low, r_up, phase_vol, valid, grid, max_span: int):
+    """Deposit per-ray quantities onto grid cells.
+
+    Args:
+      values: ``(nvar, n)`` per-ray values (e.g. ``cg_r * k * dens``).
+      r_low, r_up: ``(n,)`` ray-volume vertical edges.
+      phase_vol: ``(n,)`` phase-space volume ``|dk dl dm|``
+        (``lib/libprop.py:137``).
+      valid: ``(n,)`` bool activity mask, or None.
+      grid: ``(G,)`` uniform projection grid (faces of G-1 cells).
+      max_span: static max cells per ray.
+
+    Returns ``(nvar, G-1)`` cell deposits.
+    """
+    values = jnp.atleast_2d(values)
+    n_points = grid.shape[0]
+    n_cells = n_points - 1
+    cells, weights, live = projection_weights(r_low, r_up, valid, grid, max_span)
+    w = weights * phase_vol[:, None]                        # (n, S)
+    # route dead slots to a dump segment so they never touch real cells
+    seg = jnp.where(live, cells, n_cells).reshape(-1)       # (n*S,)
+    contrib = (values[:, :, None] * w[None, :, :]).reshape(values.shape[0], -1)
+    out = jax.ops.segment_sum(
+        contrib.T, seg, num_segments=n_cells + 1, indices_are_sorted=False
+    )                                                       # (n_cells+1, nvar)
+    return out[:n_cells].T
+
+
+def project_interfaces(values, r_low, r_up, phase_vol, valid, grid):
+    """Interface-flux projection (reference vars 3-4,
+    ``lib/libprop.py:199-219``): each interior face ``nb`` accumulates the
+    full ``value * phase_vol`` of every ray strictly straddling it
+    (``nlow < nb < nup``).  Dense O(n·G) mask + matmul (diagnostics only;
+    dead code in the reference driver).
+
+    Returns ``(nvar, G)``.
+    """
+    values = jnp.atleast_2d(values)
+    n_points = grid.shape[0]
+    dz = grid[1] - grid[0]
+    nlow, nup, in_domain = _cell_spans(r_low, r_up, dz, n_points)
+    ok = in_domain if valid is None else (valid & in_domain)
+    nb = jnp.arange(n_points, dtype=jnp.int32)
+    straddle = (
+        (nlow[:, None] < nb[None, :])
+        & (nup[:, None] > nb[None, :])
+        & ok[:, None]
+        & (nb[None, :] >= 1)
+        & (nb[None, :] < n_points - 1)
+    )                                                       # (n, G)
+    w = straddle.astype(values.dtype) * phase_vol[:, None]
+    return values @ w                                       # (nvar, G)
+
+
+def project_reference_variant(
+    dens, lam, phi, rr_low, rr_up,
+    kk, ll, mm_low, mm_up,
+    dkk, dll, dmm,
+    grid, bvf,
+    var: int = 0,
+    max_span: int = 4,
+    valid=None,
+):
+    """Full mirror of the reference ``wave_projection`` entry point
+    (``lib/libprop.py:92-221``), all five variants:
+
+    * var=0 — pseudo-momentum fluxes (u,v) at cell centers → ``(2, G-1)``
+    * var=1 — vertical wave-action flux at cell centers → ``(G-1,)``
+    * var=2 — wave action at cell centers → ``(G-1,)``
+    * var=3 — wave-action flux at interfaces → ``(G,)``
+    * var=4 — pseudo-momentum fluxes at interfaces → ``(2, G)``
+
+    Like the reference, cg_r is evaluated at ray centers
+    (``lib/libprop.py:139-144``) and the phase-space volume is
+    ``|dkk·dll·dmm|`` (``lib/libprop.py:137``).
+    """
+    phase_vol = jnp.abs(dkk * dll * dmm)
+    cgr = cg_r(kk, ll, 0.5 * (mm_low + mm_up), phi, bvf)
+
+    if var == 0:
+        vals = jnp.stack([cgr * kk * dens, cgr * ll * dens])
+        return project(vals, rr_low, rr_up, phase_vol, valid, grid, max_span)
+    if var == 1:
+        return project(
+            cgr * dens, rr_low, rr_up, phase_vol, valid, grid, max_span
+        )[0]
+    if var == 2:
+        return project(dens, rr_low, rr_up, phase_vol, valid, grid, max_span)[0]
+    if var == 3:
+        return project_interfaces(
+            cgr * dens, rr_low, rr_up, phase_vol, valid, grid
+        )[0]
+    if var == 4:
+        vals = jnp.stack([cgr * kk * dens, cgr * ll * dens])
+        return project_interfaces(vals, rr_low, rr_up, phase_vol, valid, grid)
+    raise ValueError(f"unknown projection variant {var}")
+
+
+def required_span(dr_max: float, dz: float) -> int:
+    """Host-side helper: the ``max_span`` needed so no ray volume of extent
+    up to ``dr_max`` is truncated."""
+    import math
+
+    return int(math.ceil(dr_max / dz)) + 1
