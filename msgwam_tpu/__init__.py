@@ -30,6 +30,7 @@ from .models import (  # noqa: F401
     rk3_step,
     simulate,
     step,
+    williamson_rk3,
     tidal_shear,
     velocities_gauss_homogeneous,
     velocities_sine_homogeneous,

@@ -78,8 +78,12 @@ class ModelConfig:
     max_span: int = 4
     # Computation dtype for state and physics ("float32" or "float64").
     dtype: str = "float64"
-    # Projection backend: "xla" (segment_sum) or "pallas" (TPU kernel).
+    # Projection backend: "xla" (segment_sum scatter; parity mode) or
+    # "mxu" (dense weight-matrix matmul; TPU fast path).
     projection_backend: str = "xla"
+    # Interpolation backend: "gather" (np.interp-exact; parity mode) or
+    # "mxu" (hat-basis matmul; TPU fast path).
+    interp_backend: str = "gather"
 
     # --- culling / relaunch (build-side; BASELINE config 4) --------------
     cull: bool = False                    # enable critical-level/domain culling

@@ -9,7 +9,7 @@ from .backgrounds import (  # noqa: F401
     tidal_shear,
 )
 from .rhs import rhs  # noqa: F401
-from .integrate import rk3_step, step, simulate  # noqa: F401
+from .integrate import rk3_step, step, simulate, williamson_rk3  # noqa: F401
 from .sources import (  # noqa: F401
     wave_packet_ic,
     gaussian_spectrum_source,

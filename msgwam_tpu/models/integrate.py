@@ -26,6 +26,24 @@ from .rhs import rhs as rhs_default
 from . import sources as _sources
 
 
+def williamson_rk3(f: Callable, y, dt):
+    """Generic 3-stage Williamson low-storage RK3 over any pytree ``y``
+    (coefficients per ``lib/libprop.py:693-698``):
+
+        q = dt f(y);             y += q/3
+        q = dt f(y) − 5/9 q;     y += 15/16 q
+        q = dt f(y) − 153/128 q; y += 8/15 q
+    """
+    q = jax.tree.map(lambda t: dt * t, f(y))
+    # stage 1 adds qq/3 via *division* exactly like lib/libprop.py:694
+    y = jax.tree.map(lambda qq, v: v + qq / 3.0, q, y)
+    q = jax.tree.map(lambda t, qq: dt * t - 5.0 / 9.0 * qq, f(y), q)
+    y = tree_axpy(15.0 / 16.0, q, y)
+    q = jax.tree.map(lambda t, qq: dt * t - 153.0 / 128.0 * qq, f(y), q)
+    y = tree_axpy(8.0 / 15.0, q, y)
+    return y
+
+
 def rk3_step(
     dt,
     state: State,
@@ -35,22 +53,12 @@ def rk3_step(
     axis_name: Optional[str] = None,
     rhs: Callable = rhs_default,
 ) -> State:
-    """One Williamson RK3 step (coefficients per ``lib/libprop.py:693-698``):
-
-        q = dt f(v);             v += q/3
-        q = dt f(v) − 5/9 q;     v += 15/16 q
-        q = dt f(v) − 153/128 q; v += 8/15 q
-    """
-    f = lambda s: rhs(dt, s, statics, bg, cfg, axis_name)
-
-    q = jax.tree.map(lambda t: dt * t, f(state))
-    # stage 1 adds qq/3 via *division* exactly like lib/libprop.py:694
-    state = jax.tree.map(lambda qq, v: v + qq / 3.0, q, state)
-    q = jax.tree.map(lambda t, qq: dt * t - 5.0 / 9.0 * qq, f(state), q)
-    state = tree_axpy(15.0 / 16.0, q, state)
-    q = jax.tree.map(lambda t, qq: dt * t - 153.0 / 128.0 * qq, f(state), q)
-    state = tree_axpy(8.0 / 15.0, q, state)
-    return state
+    """One Williamson RK3 step of the coupled system.  Like the reference,
+    the full ``dt`` is passed to every stage's RHS (``lib/libprop.py:693-697``
+    — only online saturation consumes it; SURVEY.md quirk 6)."""
+    return williamson_rk3(
+        lambda s: rhs(dt, s, statics, bg, cfg, axis_name), state, dt
+    )
 
 
 class StepAux(NamedTuple):
@@ -105,6 +113,7 @@ def step(
             cfg.phi0,
             faithful=cfg.faithful_saturation,
             active=statics.active,
+            interp_backend=cfg.interp_backend,
         )
         state = state._replace(rays=rays._replace(dens=dens))
 

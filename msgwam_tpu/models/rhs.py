@@ -29,20 +29,35 @@ from ..config import ModelConfig
 from ..constants import RAD_EARTH
 from ..state import Background, MeanState, RayState, RayStatics, State, coriolis
 from ..ops.dispersion import cg_r, group_velocities, wavenumber_tendencies
-from ..ops.interp import grid_interp
-from ..ops.projection import project
+from ..ops.interp import basis_interp, grid_interp
+from ..ops.projection import project_backend
 from ..ops.saturation import saturation_tendency
 
 
-def gather_winds(rays: RayState, mean: MeanState, bg: Background):
+def gather_winds(rays: RayState, mean: MeanState, bg: Background,
+                 backend: str = "gather"):
     """Interpolate winds and vertical shears onto ray heights
     (``lib/libprop.py:328-366``): centered FD of u, v on cell centers gives
     shear on interior faces; both are linearly interpolated (clamped) to
-    each ray's center height."""
+    each ray's center height.
+
+    ``backend="gather"`` matches ``np.interp`` arithmetic exactly (parity
+    mode); ``backend="mxu"`` evaluates all four profiles with two hat-basis
+    matmuls (TPU fast path — arbitrary-index gathers serialize on TPU, the
+    100-row basis contraction runs on the systolic array).
+    """
     dz = bg.centers[1] - bg.centers[0]
     du_dz = (mean.u[1:] - mean.u[:-1]) / dz
     dv_dz = (mean.v[1:] - mean.v[:-1]) / dz
-    # shear lives on interior faces: faces[1:-1] (lib/libprop.py:355-356)
+    if backend == "mxu":
+        uv = basis_interp(
+            rays.r, bg.centers[0], dz, jnp.stack([mean.u, mean.v], axis=1)
+        )
+        # shear lives on interior faces: faces[1:-1] (lib/libprop.py:355-356)
+        sh = basis_interp(
+            rays.r, bg.faces[1], dz, jnp.stack([du_dz, dv_dz], axis=1)
+        )
+        return uv[:, 0], uv[:, 1], sh[:, 0], sh[:, 1]
     u_ray = grid_interp(rays.r, bg.centers, mean.u)
     v_ray = grid_interp(rays.r, bg.centers, mean.v)
     du_dr = grid_interp(rays.r, bg.faces[1:-1], du_dz)
@@ -63,7 +78,7 @@ def rhs(
     rays, mean = state
     active = statics.active
 
-    u_ray, v_ray, du_dr, dv_dr = gather_winds(rays, mean, bg)
+    u_ray, v_ray, du_dr, dv_dr = gather_winds(rays, mean, bg, cfg.interp_backend)
 
     # Group velocities.  cg_r is height-independent in this model, so the
     # reference's edge evaluations at r ± dr/2 (lib/libprop.py:635-636) are
@@ -94,6 +109,7 @@ def rhs(
             cfg.bvf, cfg.kappa, cfg.phi0,
             faithful=cfg.faithful_saturation,
             active=active,
+            interp_backend=cfg.interp_backend,
         )
     else:
         dens_st = jnp.zeros_like(rays.dens)
@@ -102,7 +118,7 @@ def rhs(
     # (lib/libprop.py:653-658).  cg_r at the ray center equals cgr above.
     phase_vol = jnp.abs(statics.dkk * statics.dll * rays.dm)
     flux_vals = jnp.stack([cgr * rays.k * rays.dens, cgr * rays.l * rays.dens])
-    pm_interior = project(
+    pm_interior = project_backend(cfg.projection_backend)(
         flux_vals,
         rays.r - 0.5 * rays.dr,
         rays.r + 0.5 * rays.dr,

@@ -8,6 +8,7 @@ provide a closed-form fast path that avoids ``searchsorted`` entirely.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -24,8 +25,9 @@ def interp(x, xp, fp):
     x1 = xp[i + 1]
     f0 = fp[i]
     f1 = fp[i + 1]
-    t = jnp.clip((x - x0) / (x1 - x0), 0.0, 1.0)
-    return f0 + t * (f1 - f0)
+    # numpy's compiled inner-loop arithmetic: slope*(x - x0) + f0, clamped
+    inner = (f1 - f0) / (x1 - x0) * (x - x0) + f0
+    return jnp.where(x <= xp[0], fp[0], jnp.where(x >= xp[-1], fp[-1], inner))
 
 
 def uniform_interp(x, x0, dx, fp):
@@ -46,6 +48,39 @@ def uniform_interp(x, x0, dx, fp):
     f1 = fp[i + 1]
     inner = (f1 - f0) / dx * (x - xi) + f0
     return jnp.where(x <= x0, fp[0], jnp.where(x >= x0 + (n - 1) * dx, fp[-1], inner))
+
+
+def basis_matrix(x, x0, dx, n):
+    """Dense linear-interpolation (hat-function) basis: ``B[i, j] =
+    hat_j(clip(x_i))`` for the uniform grid ``xp[j] = x0 + j*dx``, such that
+    ``B @ fp`` equals clamped linear interpolation (``np.interp``) of any
+    table ``fp`` on that grid.
+
+    MXU interp backend: TPU gathers over ~1e5 arbitrary indices serialize,
+    but the table is tiny (~100 entries), so interpolation of many tables at
+    the same query points is one ``(n_query, n_table)`` basis construction
+    (fused elementwise) + one matmul on the systolic array.
+    """
+    x = jnp.asarray(x)
+    xc = jnp.clip(x, x0, x0 + (n - 1) * dx)
+    t = (xc[:, None] - x0) / dx - jnp.arange(n, dtype=x.dtype)[None, :]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def basis_interp(x, x0, dx, tables):
+    """Interpolate one or more stacked ``(n_table,)`` / ``(n_table, k)``
+    tables at query points ``x`` via :func:`basis_matrix` (one matmul)."""
+    tables = jnp.asarray(tables)
+    squeeze = tables.ndim == 1
+    if squeeze:
+        tables = tables[:, None]
+    B = basis_matrix(x, x0, dx, tables.shape[0])
+    out = jax.lax.dot_general(
+        B, tables,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=tables.dtype,
+    )
+    return out[:, 0] if squeeze else out
 
 
 def grid_interp(x, xp, fp):

@@ -102,6 +102,55 @@ def project(values, r_low, r_up, phase_vol, valid, grid, max_span: int):
     return out[:n_cells].T
 
 
+def project_dense(values, r_low, r_up, phase_vol, valid, grid, max_span=None):
+    """MXU projection backend: the deposit is a *dense* weight matrix
+    contraction instead of a scatter.
+
+    TPU scatters (``segment_sum``) serialize; but the grid is tiny
+    (~100 cells), so the full per-(ray, cell) overlap-weight matrix is cheap
+    to form and the reduction over rays becomes a single matmul on the
+    systolic array: ``(nvar, n) @ (n, C)``.  XLA fuses the elementwise
+    weight construction into the matmul operand.  Semantics (index
+    arithmetic, clamping, out-of-domain mask, |overlap|) are identical to
+    :func:`project`; only the summation order differs (parity mode should
+    use the ``xla`` backend).
+
+    ``max_span`` is accepted and ignored (the dense form has no span bound
+    — rays wider than ``max_span`` cells are handled exactly).
+    """
+    values = jnp.atleast_2d(values)
+    n_points = grid.shape[0]
+    n_cells = n_points - 1
+    dz = grid[1] - grid[0]
+    nlow, nup, in_domain = _cell_spans(r_low, r_up, dz, n_points)
+    ok = in_domain if valid is None else (valid & in_domain)
+
+    c = jnp.arange(n_cells, dtype=jnp.int32)
+    in_span = (c[None, :] >= nlow[:, None]) & (c[None, :] < nup[:, None])
+    zmin = jnp.maximum(grid[:-1][None, :], r_low[:, None])
+    zmax = jnp.minimum(grid[1:][None, :], r_up[:, None])
+    w = jnp.abs(zmax - zmin) / dz
+    w = jnp.where(in_span & ok[:, None], w, 0.0) * phase_vol[:, None]
+    return jax.lax.dot_general(
+        values, w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=values.dtype,
+    )
+
+
+PROJECT_BACKENDS = {"xla": project, "mxu": project_dense}
+
+
+def project_backend(name: str):
+    try:
+        return PROJECT_BACKENDS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown projection backend {name!r}; available: "
+            f"{sorted(PROJECT_BACKENDS)}"
+        )
+
+
 def project_interfaces(values, r_low, r_up, phase_vol, valid, grid):
     """Interface-flux projection (reference vars 3-4,
     ``lib/libprop.py:199-219``): each interior face ``nb`` accumulates the

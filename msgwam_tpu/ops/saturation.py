@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..constants import ROT_EARTH
 from .dispersion import omega
-from .interp import grid_interp
+from .interp import basis_interp, grid_interp
 
 
 def saturation_cap(
@@ -34,6 +34,7 @@ def saturation_cap(
     dkk, dll, rr_mm_area,
     centers, rhobar,
     bvf, kappa, phi0,
+    interp_backend: str = "gather",
 ):
     """End-of-step extrapolation + threshold.
 
@@ -44,7 +45,12 @@ def saturation_cap(
     dr_final = dr + dr_rate * dt
     m_final = m + m_rate * dt
     dmm_final = rr_mm_area / dr_final
-    rhobar_final = grid_interp(r_final, centers, rhobar)
+    if interp_backend == "mxu":
+        rhobar_final = basis_interp(
+            r_final, centers[0], centers[1] - centers[0], rhobar
+        )
+    else:
+        rhobar_final = grid_interp(r_final, centers, rhobar)
 
     ff = 2.0 * ROT_EARTH * jnp.sin(phi0)
     omh = omega(k, l, m, phi0, bvf)  # reference uses *pre-step* m and phi0
@@ -62,12 +68,14 @@ def saturate_direct(
     bvf, kappa, phi0,
     faithful: bool = True,
     active=None,
+    interp_backend: str = "gather",
 ):
     """Clamp densities that exceed the cap (``direct=True`` branch,
     ``lib/libprop.py:606-610``).  Returns the new density array."""
     max_dens, phase_vol = saturation_cap(
         dt, r, r_rate, dr, dr_rate, k, l, m, m_rate,
         dkk, dll, rr_mm_area, centers, rhobar, bvf, kappa, phi0,
+        interp_backend=interp_backend,
     )
     cap = max_dens if faithful else max_dens / phase_vol
     exceed = max_dens < dens * phase_vol
@@ -82,12 +90,14 @@ def saturation_tendency(
     bvf, kappa, phi0,
     faithful: bool = True,
     active=None,
+    interp_backend: str = "gather",
 ):
     """Relaxation tendency (non-direct branch, ``lib/libprop.py:612-615``):
     ``(cap − dens)/dt`` on exceeding rays, zero elsewhere."""
     max_dens, phase_vol = saturation_cap(
         dt, r, r_rate, dr, dr_rate, k, l, m, m_rate,
         dkk, dll, rr_mm_area, centers, rhobar, bvf, kappa, phi0,
+        interp_backend=interp_backend,
     )
     cap = max_dens if faithful else max_dens / phase_vol
     exceed = max_dens < dens * phase_vol

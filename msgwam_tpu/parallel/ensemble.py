@@ -1,0 +1,74 @@
+"""Ensemble fan-out (BASELINE config 5): many independent simulations —
+stochastic-source members, parameter sweeps — vmapped over a leading
+``ensemble`` axis and sharded across the mesh.
+
+Members never communicate, so this is pure data parallelism: ``vmap`` the
+single-member ``simulate`` and let GSPMD place one slice of the batch per
+device (the modern replacement for the reference-era ``pmap`` suggestion in
+BASELINE.json).  Combine with :mod:`.sharding` by using a 2-D mesh
+``('ensemble', 'rays')`` — not needed until single-member state outgrows a
+chip, which at ~10 floats/ray means ~10^8 rays.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig, RunConfig
+from ..state import Background, RayStatics, State
+from ..models.integrate import simulate
+
+
+ENSEMBLE_AXIS = "ensemble"
+
+
+def stack_ensemble(members):
+    """Stack a list of (state, statics) members into batched pytrees with a
+    leading ensemble axis."""
+    import jax.numpy as jnp
+
+    states = [m[0] for m in members]
+    statics = [m[1] for m in members]
+    return (
+        jax.tree.map(lambda *xs: jnp.stack(xs), *states),
+        jax.tree.map(lambda *xs: jnp.stack(xs), *statics),
+    )
+
+
+def ensemble_simulate(
+    states: State,
+    statics: RayStatics,
+    bg: Background,
+    cfg: ModelConfig,
+    run: RunConfig,
+    mesh: Optional[Mesh] = None,
+    observe: Optional[Callable] = None,
+    axis: str = ENSEMBLE_AXIS,
+):
+    """Run a batch of simulations (leading ensemble axis on every leaf of
+    ``states``/``statics``), sharded over ``mesh`` if given."""
+    if observe is None:
+        observe = lambda s, st, aux: s.mean
+
+    f = jax.vmap(
+        lambda s, st: simulate(s, st, bg, cfg, run, observe=observe)
+    )
+    if mesh is None:
+        return jax.jit(f)(states, statics)
+    # shard_map over the member axis: each device runs a plain vmap over its
+    # local members; no cross-member communication exists, so in/out specs
+    # are all P(axis) and the background stays a replicated closure constant.
+    spec = jax.tree.map(lambda _: P(axis), states)
+    spec_st = jax.tree.map(lambda _: P(axis), statics)
+    out_shape = jax.eval_shape(f, states, statics)
+    out_spec = jax.tree.map(lambda _: P(axis), out_shape)
+    mapped = jax.shard_map(
+        f, mesh=mesh, in_specs=(spec, spec_st), out_specs=out_spec
+    )
+    shard = NamedSharding(mesh, P(axis))
+    states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
+    statics = jax.tree.map(lambda x: jax.device_put(x, shard), statics)
+    return jax.jit(mapped)(states, statics)

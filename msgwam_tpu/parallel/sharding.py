@@ -1,0 +1,124 @@
+"""Ray-axis sharding over a device mesh.
+
+Rays are embarrassingly parallel except at one point: the flux reduction
+onto the shared vertical grid inside the RHS (the reference's single
+ray→grid transpose, ``lib/libprop.py:653-663``).  We shard the ray axis
+with ``shard_map``; each shard scatters its local pseudo-momentum flux
+(O(n_cell) floats) and a single ``psum`` per RHS evaluation — 3 per RK3
+step, riding ICI — produces the replicated profile, after which every shard
+computes the identical mean-flow update (kept replicated by construction).
+
+The mean-flow state, background, and config are replicated; per-shard ray
+buffers keep static shapes, so ``capacity`` must be divisible by the mesh
+size.  Numerical note: cross-shard ``psum`` ordering differs from the
+single-shard reduction order, so sharded results match unsharded to
+roundoff (tested at 1e-12 in float64), not bitwise.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig, RunConfig
+from ..state import Background, MeanState, RayState, RayStatics, State
+from ..models.integrate import simulate, step
+
+
+RAY_AXIS = "rays"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = RAY_AXIS) -> Mesh:
+    """1-D mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return jax.make_mesh((len(devs),), (axis,), devices=devs)
+
+
+def ray_sharding_specs(axis: str = RAY_AXIS):
+    """PartitionSpecs for (State, RayStatics): ray fields split along
+    ``axis``, mean-flow fields replicated."""
+    ray = P(axis)
+    rep = P()
+    state_spec = State(
+        RayState(*([ray] * len(RayState._fields))),
+        MeanState(rep, rep),
+    )
+    statics_spec = RayStatics(ray, ray, ray, ray)
+    return state_spec, statics_spec
+
+
+def shard_state(mesh: Mesh, state: State, statics: RayStatics, axis: str = RAY_AXIS):
+    """Place (state, statics) on the mesh with ray-axis sharding."""
+    state_spec, statics_spec = ray_sharding_specs(axis)
+    put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
+    state = jax.tree.map(put, state, state_spec)
+    statics = jax.tree.map(put, statics, statics_spec)
+    return state, statics
+
+
+def sharded_step_fn(
+    mesh: Mesh,
+    bg: Background,
+    cfg: ModelConfig,
+    dt: float,
+    axis: str = RAY_AXIS,
+) -> Callable:
+    """A jitted single-step function sharded over the ray axis:
+    ``f(state, statics) -> (state, statics)``."""
+    state_spec, statics_spec = ray_sharding_specs(axis)
+
+    def body(state, statics):
+        state, statics, _ = step(dt, state, statics, bg, cfg, axis_name=axis)
+        return state, statics
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(state_spec, statics_spec),
+        out_specs=(state_spec, statics_spec),
+    )
+    return jax.jit(mapped)
+
+
+def sharded_simulate(
+    mesh: Mesh,
+    state: State,
+    statics: RayStatics,
+    bg: Background,
+    cfg: ModelConfig,
+    run: RunConfig,
+    observe: Optional[Callable] = None,
+    observe_spec=None,
+    source=None,
+    axis: str = RAY_AXIS,
+):
+    """Run :func:`msgwam_tpu.models.integrate.simulate` sharded over the ray
+    axis.  ``observe`` defaults to recording the (replicated) mean-flow
+    profile per saved step; a custom ``observe`` needs a matching
+    ``observe_spec`` PartitionSpec pytree for its output.
+    """
+    state_spec, statics_spec = ray_sharding_specs(axis)
+    if observe is None:
+        observe = lambda s, st, aux: s.mean
+        observe_spec = MeanState(P(), P())
+    elif observe_spec is None:
+        raise ValueError("custom observe requires observe_spec")
+
+    def body(state, statics):
+        return simulate(
+            state, statics, bg, cfg, run,
+            observe=observe, source=source, axis_name=axis,
+        )
+
+    mapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(state_spec, statics_spec),
+        out_specs=(state_spec, statics_spec, observe_spec),
+    )
+    state, statics = shard_state(mesh, state, statics, axis)
+    return jax.jit(mapped)(state, statics)

@@ -1,0 +1,105 @@
+"""Integrator correctness: RK3 order of convergence, physics invariants
+over full simulations."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import msgwam_tpu as mt
+from msgwam_tpu.models.integrate import williamson_rk3
+
+
+def test_rk3_third_order():
+    """Williamson RK3 converges at 3rd order on y' = -y."""
+    y0 = 1.0
+    T = 1.0
+    errs = []
+    for n in (16, 32, 64):
+        dt = T / n
+        y = jnp.asarray(y0)
+        for _ in range(n):
+            y = williamson_rk3(lambda v: -v, y, dt)
+        errs.append(abs(float(y) - np.exp(-T)))
+    order1 = np.log2(errs[0] / errs[1])
+    order2 = np.log2(errs[1] / errs[2])
+    assert 2.7 < order1 < 3.3 and 2.7 < order2 < 3.3, (errs, order1, order2)
+
+
+def _default_setup(n_ray=60, coupled=True):
+    cfg = mt.REFERENCE_RUN_CONFIG
+    gc = mt.GridConfig()
+    centers = gc.centers()
+    uu = np.asarray(mt.velocities_sine_homogeneous(jnp.asarray(centers), cfg))
+    vv = np.zeros_like(uu)
+    if not coupled:
+        uu = np.zeros_like(uu)
+    bg = mt.make_background(gc, cfg, uu, vv)
+    rays, statics = mt.wave_packet_ic(gc, cfg, bg, n_ray=n_ray)
+    state = mt.State(rays, mt.MeanState(jnp.asarray(uu), jnp.asarray(vv)))
+    return cfg, gc, bg, state, statics
+
+
+def test_phase_space_area_conserved():
+    """dr * dm per ray is invariant (ddmm = dm/dr * ddrr, lib/libprop.py:645);
+    with height-independent cg_r both extents are individually constant."""
+    cfg, gc, bg, state, statics = _default_setup()
+    area0 = np.asarray(state.rays.dr * state.rays.dm)
+    run = mt.RunConfig(dt=120.0, n_steps=200, save_every=200)
+    sf, _, _ = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))(state, statics)
+    area = np.asarray(sf.rays.dr * sf.rays.dm)
+    np.testing.assert_allclose(area, area0, rtol=1e-12)
+
+
+def test_wave_action_conserved_without_saturation():
+    """Pure propagation (no breaking, rays interior): total wave action
+    sum(dens * dk dl dm * dr) is conserved — the reference's only runtime
+    diagnostic (raytracer.py:194-240), promoted to a hard test."""
+    cfg, gc, bg, state, statics = _default_setup()
+    cfg = cfg.replace(kappa=1e9)  # cap unreachable -> no saturation ever
+    run = mt.RunConfig(dt=120.0, n_steps=300, save_every=300)
+    sf, _, _ = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))(state, statics)
+    def total(rays):
+        return float(jnp.sum(
+            rays.dens * statics.dkk * statics.dll * rays.dm * rays.dr
+        ))
+    a0, a1 = total(state.rays), total(sf.rays)
+    # rays must still be interior for this to be exact
+    assert np.all(np.asarray(sf.rays.r) < bg.faces[-1])
+    np.testing.assert_allclose(a1, a0, rtol=1e-10)
+
+
+def test_saturation_never_increases_density():
+    cfg, gc, bg, state, statics = _default_setup()
+    run = mt.RunConfig(dt=120.0, n_steps=50, save_every=1)
+    _, _, hist = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))(state, statics)
+    hist_state, hist_active, dens_prop = hist
+    # offline saturation only ever clamps downward or keeps the value
+    assert np.all(np.asarray(hist_state.rays.dens) <= np.asarray(dens_prop) * (1 + 1e-12))
+
+
+def test_history_decimation_consistent():
+    cfg, gc, bg, state, statics = _default_setup()
+    run1 = mt.RunConfig(dt=120.0, n_steps=40, save_every=1)
+    run2 = mt.RunConfig(dt=120.0, n_steps=40, save_every=10)
+    sf1, _, h1 = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run1))(state, statics)
+    sf2, _, h2 = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run2))(state, statics)
+    np.testing.assert_allclose(np.asarray(sf1.mean.u), np.asarray(sf2.mean.u), rtol=0)
+    # decimated history rows equal the dense history at matching steps
+    np.testing.assert_allclose(
+        np.asarray(h2[0].mean.u), np.asarray(h1[0].mean.u[9::10]), rtol=0
+    )
+
+
+def test_frozen_inactive_rays():
+    """Inactive slots must not move, and activating culling must not change
+    active-ray physics when nothing meets the cull criteria."""
+    cfg, gc, bg, state, statics = _default_setup()
+    rays2, statics2 = mt.pad_rays(state.rays, statics, 96)
+    state2 = mt.State(rays2, state.mean)
+    run = mt.RunConfig(dt=120.0, n_steps=30, save_every=30)
+    sf2, _, _ = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))(state2, statics2)
+    # padded slots frozen exactly
+    np.testing.assert_array_equal(np.asarray(sf2.rays.r[60:]), np.asarray(rays2.r[60:]))
+    sf1, _, _ = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))(state, statics)
+    np.testing.assert_array_equal(np.asarray(sf2.rays.dens[:60]), np.asarray(sf1.rays.dens))
+    np.testing.assert_array_equal(np.asarray(sf2.mean.u), np.asarray(sf1.mean.u))

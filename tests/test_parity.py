@@ -1,0 +1,148 @@
+"""Golden parity vs the actual NumPy reference: identical ICs, identical
+trajectories and flux profiles at float64 (SURVEY.md §4 item 1)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import msgwam_tpu as mt
+
+NN, NRAY, NGRID, GRID_MAX, PHI0, ALPHA, DT = 0.01, 60, 101, 100e3, 0.0, 0.01, 120.0
+
+
+@pytest.fixture()
+def reference_setup(reference_libprop):
+    """The reference driver's exact configuration (raytracer.py:32-117)."""
+    lprop = reference_libprop
+    lprop.HPROP_GLOBAL = False
+    lprop.set_model_setup(
+        bvf=NN, rhs=lprop.rhs_default, boussinesq=False, sig_rr=10000,
+        u0=4, rr0=40000, rr1=40000, phi0=PHI0, kappa=1.0,
+        saturate_online=False,
+    )
+    grid = np.linspace(0, GRID_MAX, NGRID)
+    grids = 0.5 * (grid[:-1] + grid[1:])
+    lprop.grid, lprop.grids = grid, grids
+    uu = lprop.velocities_sine_homogeneous(grids)
+    vv = np.zeros_like(uu)
+    lprop.set_hydrostatics()
+    lprop.set_pressure_gradient(uu, vv)
+    dkk = np.ones(NRAY) * 1e-4
+    dll = np.ones(NRAY) * 1e-4
+    edges = np.linspace(0, 15000, NRAY + 1)
+    drr = np.diff(edges)
+    area = 5e-5 * drr
+    lprop.set_statics(dll=dll, dkk=dkk, rr_mm_area=area)
+    return lprop, grid, grids, uu, vv
+
+
+def _reference_run(lprop, grids, uu, vv, n_steps):
+    k_abs = 2 * np.pi / 50e3
+    kk = np.ones(NRAY) * k_abs
+    ll = np.zeros(NRAY)
+    mm = np.ones(NRAY) * -2 * np.pi / 5e3
+    edges = np.linspace(0, 15000, NRAY + 1)
+    rr = 0.5 * (edges[:-1] + edges[1:])
+    drr = np.full(NRAY, edges[1] - edges[0])
+    area = 5e-5 * drr
+    dmm = area / drr
+    rhobar_ray = np.interp(rr, grids, lprop.rhobar)
+    omh = lprop.omega(kk, ll, mm, PHI0)
+    dens = (
+        ALPHA**2 * rhobar_ray / 2 * omh / mm**2 / omh**2 * NN**2
+        * np.exp(-((rr - rr.mean()) ** 2) / 2 / 2000**2)
+    ) / 1e-4 / 1e-4 / dmm
+    cur = [dens, np.zeros(NRAY), np.full(NRAY, PHI0), rr, drr,
+           kk, ll, mm, dmm, uu.copy(), vv.copy()]
+    for _ in range(n_steps):
+        out = lprop.RK3(DT, np.array(cur, dtype=object))
+        dens_sat = lprop.saturation(
+            DT, out[0], cur[3], (out[3] - cur[3]) / 1,
+            cur[4], (out[4] - cur[4]) / DT,
+            out[5], out[6], cur[7], (out[7] - cur[7]) / DT, direct=True,
+        )
+        cur = list(out)
+        cur[0] = dens_sat
+    return cur
+
+
+@pytest.fixture()
+def engine_setup():
+    cfg = mt.REFERENCE_RUN_CONFIG
+    gc = mt.GridConfig(n_face=NGRID, z_max=GRID_MAX)
+    centers = gc.centers()
+    uu = np.asarray(mt.velocities_sine_homogeneous(jnp.asarray(centers), cfg))
+    vv = np.zeros_like(uu)
+    bg = mt.make_background(gc, cfg, uu, vv)
+    rays, statics = mt.wave_packet_ic(gc, cfg, bg, n_ray=NRAY)
+    state = mt.State(rays, mt.MeanState(jnp.asarray(uu), jnp.asarray(vv)))
+    return cfg, gc, bg, state, statics
+
+
+def test_initial_conditions_match(reference_setup, engine_setup):
+    lprop, grid, grids, uu, vv = reference_setup
+    cfg, gc, bg, state, statics = engine_setup
+    ref = _reference_run(lprop, grids, uu, vv, 0)
+    np.testing.assert_allclose(np.asarray(state.rays.dens), ref[0], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(state.rays.r), ref[3], rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(state.mean.u), ref[9], rtol=1e-12, atol=1e-15)
+
+
+def test_trajectory_parity_100_steps(reference_setup, engine_setup):
+    lprop, grid, grids, uu, vv = reference_setup
+    cfg, gc, bg, state, statics = engine_setup
+    N = 100
+    ref = _reference_run(lprop, grids, uu, vv, N)
+    run = mt.RunConfig(dt=DT, n_steps=N, save_every=N)
+    sf, stf, _ = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))(state, statics)
+    np.testing.assert_allclose(np.asarray(sf.rays.dens), ref[0], rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(sf.rays.r), ref[3], rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sf.rays.m), ref[7], rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(sf.mean.u), ref[9], rtol=1e-9, atol=1e-12)
+
+
+def test_flux_profile_parity(reference_setup, engine_setup):
+    """The north-star acceptance: pseudo-momentum flux profiles agree to
+    <1e-6 (rel to max) after a substantial coupled run."""
+    lprop, grid, grids, uu, vv = reference_setup
+    cfg, gc, bg, state, statics = engine_setup
+    N = 100
+    ref = _reference_run(lprop, grids, uu, vv, N)
+    run = mt.RunConfig(dt=DT, n_steps=N, save_every=N)
+    sf, stf, _ = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))(state, statics)
+    flux_ref = lprop.wave_projection(
+        ref[0], ref[1], ref[2], ref[3] - 0.5 * ref[4], ref[3] + 0.5 * ref[4],
+        ref[5], ref[6], ref[7] - 0.5 * ref[8], ref[7] + 0.5 * ref[8],
+        np.ones(NRAY) * 1e-4, np.ones(NRAY) * 1e-4, ref[8], grids, var=0,
+    )
+    from msgwam_tpu.diagnostics import pseudo_momentum_flux
+
+    flux = np.asarray(pseudo_momentum_flux(sf.rays, stf, bg, cfg))
+    # reference projects interior cells of the staggered grid
+    err = np.max(np.abs(flux - flux_ref)) / (np.max(np.abs(flux_ref)) + 1e-300)
+    assert err < 1e-6, err
+
+
+def test_background_profiles_match(reference_setup):
+    lprop, grid, grids, uu, vv = reference_setup
+    cfg = mt.REFERENCE_RUN_CONFIG
+    z = jnp.asarray(grids)
+    np.testing.assert_allclose(
+        np.asarray(mt.velocities_sine_homogeneous(z, cfg)),
+        lprop.velocities_sine_homogeneous(grids), rtol=1e-12, atol=1e-15,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mt.velocities_tanh_homogeneous(z, cfg)),
+        lprop.velocities_tanh_homogeneous(grids), rtol=1e-12, atol=1e-15,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mt.velocities_gauss_homogeneous(z, cfg)),
+        lprop.velocities_gauss_homogeneous(grids), rtol=1e-12, atol=1e-15,
+    )
+    gc = mt.GridConfig(n_face=NGRID, z_max=GRID_MAX)
+    bg = mt.make_background(gc, cfg, uu, vv)
+    np.testing.assert_allclose(np.asarray(bg.rhobar), lprop.rhobar, rtol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(bg.pressure_gradient), lprop.pressure_gradient, rtol=1e-13
+    )
