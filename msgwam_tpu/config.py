@@ -85,6 +85,12 @@ class ModelConfig:
     # "mxu" (hat-basis matmul; TPU fast path).
     interp_backend: str = "gather"
 
+    # Prognostic mean flow (wave–mean-flow coupling on).  False freezes the
+    # wind tendencies — a truly *fixed* background (BASELINE config 1), or,
+    # combined with a prescribed wind function in ``simulate``, a transient
+    # imposed background (BASELINE config 4's tidal shear).
+    prognostic_mean: bool = True
+
     # --- culling / relaunch (build-side; BASELINE config 4) --------------
     cull: bool = False                    # enable critical-level/domain culling
     m_max: float = 2 * math.pi / 100.0    # |m| beyond this = critical level

@@ -134,6 +134,8 @@ def simulate(
     relaunch_every: int = 1,
     axis_name: Optional[str] = None,
     rhs: Callable = rhs_default,
+    wind_fn: Optional[Callable] = None,
+    t0: float = 0.0,
 ):
     """Run ``run.n_steps`` steps as one ``lax.scan``, recording an
     observation every ``run.save_every`` steps.
@@ -147,6 +149,12 @@ def simulate(
     :mod:`msgwam_tpu.models.sources`) enables relaunch of culled slots every
     ``relaunch_every`` steps.
 
+    ``wind_fn(t) -> (u, v)`` prescribes a transient imposed background
+    (e.g. :func:`msgwam_tpu.models.backgrounds.tidal_shear`): the mean wind
+    is overwritten at each step's start time; combine with
+    ``cfg.prognostic_mean=False`` so the wind tendencies vanish and XLA
+    drops the unused flux work (BASELINE configs 1 and 4).
+
     Returns ``(final_state, final_statics, history)`` where every history
     leaf has leading axis ``n_steps // save_every``.
     """
@@ -158,12 +166,20 @@ def simulate(
 
     def inner(carry, i):
         st, stat = carry
+        if wind_fn is not None:
+            t = t0 + i.astype(bg.centers.dtype) * run.dt
+            u, v = wind_fn(t)
+            st = st._replace(
+                mean=st.mean._replace(
+                    u=jnp.broadcast_to(u, st.mean.u.shape).astype(st.mean.u.dtype),
+                    v=jnp.broadcast_to(v, st.mean.v.shape).astype(st.mean.v.dtype),
+                )
+            )
         st, stat, aux = step(run.dt, st, stat, bg, cfg, axis_name, rhs)
         if cfg.relaunch and source is not None:
-            do = (i % relaunch_every) == 0 if relaunch_every > 1 else True
             if relaunch_every > 1:
                 st, stat = jax.lax.cond(
-                    do,
+                    (i % relaunch_every) == 0,
                     lambda: _sources.relaunch(st, stat, source),
                     lambda: (st, stat),
                 )
@@ -171,14 +187,13 @@ def simulate(
                 st, stat = _sources.relaunch(st, stat, source)
         return (st, stat), aux
 
-    def outer(carry, _):
-        (st, stat), aux = jax.lax.scan(
-            inner, carry, jnp.arange(run.save_every)
-        )
+    def outer(carry, block):
+        (st, stat), aux = jax.lax.scan(inner, carry, block)
         aux_last = jax.tree.map(lambda x: x[-1], aux)
         return (st, stat), observe(st, stat, aux_last)
 
+    steps = jnp.arange(run.n_steps).reshape(n_outer, run.save_every)
     (state, statics), history = jax.lax.scan(
-        outer, (state, statics), None, length=n_outer
+        outer, (state, statics), steps
     )
     return state, statics, history

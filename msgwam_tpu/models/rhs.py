@@ -139,10 +139,15 @@ def rhs(
     dz = bg.faces[1] - bg.faces[0]
     pm_flux_gradient = (pm_flux[:, 1:] - pm_flux[:, :-1]) / dz  # (2, n_cell)
 
-    # mean-flow tendencies (lib/libprop.py:523-558)
-    ff = coriolis(cfg.phi0)
-    du_st = ff * mean.v - (bg.pressure_gradient[0] + pm_flux_gradient[0]) / bg.rhobar
-    dv_st = -ff * mean.u - (bg.pressure_gradient[1] + pm_flux_gradient[1]) / bg.rhobar
+    # mean-flow tendencies (lib/libprop.py:523-558); with the mean flow
+    # non-prognostic (fixed/prescribed background) they are exactly zero
+    if cfg.prognostic_mean:
+        ff = coriolis(cfg.phi0)
+        du_st = ff * mean.v - (bg.pressure_gradient[0] + pm_flux_gradient[0]) / bg.rhobar
+        dv_st = -ff * mean.u - (bg.pressure_gradient[1] + pm_flux_gradient[1]) / bg.rhobar
+    else:
+        du_st = jnp.zeros_like(mean.u)
+        dv_st = jnp.zeros_like(mean.v)
 
     # inactive slots are frozen: zero tendencies everywhere
     z = jnp.zeros((), dtype=rays.dens.dtype)

@@ -142,12 +142,16 @@ PROJECT_BACKENDS = {"xla": project, "mxu": project_dense}
 
 
 def project_backend(name: str):
+    if name == "pallas":
+        from .projection_pallas import project_pallas
+
+        return project_pallas
     try:
         return PROJECT_BACKENDS[name]
     except KeyError:
         raise ValueError(
             f"unknown projection backend {name!r}; available: "
-            f"{sorted(PROJECT_BACKENDS)}"
+            f"{sorted(PROJECT_BACKENDS) + ['pallas']}"
         )
 
 
