@@ -126,12 +126,13 @@ def config_ladder(backend, dtype):
     bstate = jax.tree.map(lambda x: jnp.broadcast_to(x, (E,) + x.shape), state)
     bstatics = jax.tree.map(lambda x: jnp.broadcast_to(x, (E,) + x.shape), statics)
     run = mt.RunConfig(dt=120.0, n_steps=20, save_every=20)
+    seq = len(jax.devices()) < E   # vmap defeats fusion; see ensemble.py
     t0 = time.perf_counter()
-    out = ensemble_simulate(bstate, bstatics, bg, cfg, run)
+    out = ensemble_simulate(bstate, bstatics, bg, cfg, run, sequential=seq)
     jax.block_until_ready(out)
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    out = ensemble_simulate(bstate, bstatics, bg, cfg, run)
+    out = ensemble_simulate(bstate, bstatics, bg, cfg, run, sequential=seq)
     jax.block_until_ready(out)
     per_step = (time.perf_counter() - t0) / run.n_steps
     rows.append(("5: 1e6 ensemble (8x125k)", 1_000_000, per_step, compile_s))

@@ -26,8 +26,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional
-
 import numpy as np
 
 
@@ -134,7 +132,6 @@ class RunConfig:
     dt: float = 120.0
     n_steps: int = 1440                   # 2 days at dt=120 s
     save_every: int = 1                   # history decimation factor
-    capacity: Optional[int] = None        # ray-buffer capacity (None = n rays)
 
 
 # The reference driver's overrides (``raytracer.py:53-64``): sine-jet wind,

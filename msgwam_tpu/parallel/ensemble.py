@@ -47,15 +47,27 @@ def ensemble_simulate(
     mesh: Optional[Mesh] = None,
     observe: Optional[Callable] = None,
     axis: str = ENSEMBLE_AXIS,
+    sequential: bool = False,
 ):
     """Run a batch of simulations (leading ensemble axis on every leaf of
-    ``states``/``statics``), sharded over ``mesh`` if given."""
+    ``states``/``statics``), sharded over ``mesh`` if given.
+
+    ``sequential=True`` runs members one after another (``lax.map``) instead
+    of batching them — the right choice when members outnumber devices:
+    batching (vmap) the dense-matmul projection defeats XLA's
+    weight-generation fusion (measured 180 ms/step for 8×125k members on one
+    chip vs ~2.8 ms/step for the same 1e6 rays in one member), while
+    sequential members each run at full single-member speed.
+    """
     if observe is None:
         observe = lambda s, st, aux: s.mean
 
-    f = jax.vmap(
-        lambda s, st: simulate(s, st, bg, cfg, run, observe=observe)
-    )
+    member = lambda s, st: simulate(s, st, bg, cfg, run, observe=observe)
+    if sequential:
+        f = lambda ss, stst: jax.lax.map(lambda x: member(*x), (ss, stst))
+        return jax.jit(f)(states, statics)
+
+    f = jax.vmap(member)
     if mesh is None:
         return jax.jit(f)(states, statics)
     # shard_map over the member axis: each device runs a plain vmap over its

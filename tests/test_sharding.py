@@ -108,3 +108,28 @@ def test_ensemble_matches_members():
         np.asarray(jax.device_get(es.mean.u))[2], np.asarray(sf2.mean.u),
         rtol=1e-12, atol=1e-15,
     )
+
+
+def test_ensemble_sequential_matches_vmap():
+    cfg, bg, state, statics = _setup()
+    gc = mt.GridConfig()
+    members = [mt.wave_packet_ic(gc, cfg, bg, n_ray=60, alpha=0.01 * (1 + i))
+               for i in range(3)]
+    brays, bstat = stack_ensemble(members)
+    uu = np.asarray(state.mean.u)
+    bstate = mt.State(
+        brays,
+        mt.MeanState(
+            jnp.broadcast_to(jnp.asarray(uu), (3,) + uu.shape),
+            jnp.zeros((3,) + uu.shape),
+        ),
+    )
+    run = mt.RunConfig(dt=120.0, n_steps=10, save_every=10)
+    a = ensemble_simulate(bstate, bstat, bg, cfg, run)
+    b = ensemble_simulate(bstate, bstat, bg, cfg, run, sequential=True)
+    np.testing.assert_allclose(
+        np.asarray(a[0].mean.u), np.asarray(b[0].mean.u), rtol=1e-12, atol=1e-15
+    )
+    np.testing.assert_allclose(
+        np.asarray(a[0].rays.dens), np.asarray(b[0].rays.dens), rtol=1e-12
+    )
