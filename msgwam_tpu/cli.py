@@ -1,0 +1,188 @@
+"""Experiment driver CLI — the reference's L3 layer (``raytracer.py``) as a
+config-file-driven command instead of an edit-the-constants script.
+
+Usage:
+    python -m msgwam_tpu run --config experiment.json --out results/
+    python -m msgwam_tpu run --preset reference --steps 200 --out results/
+    python -m msgwam_tpu bench
+
+The JSON config mirrors the driver constants block (``raytracer.py:32-64``)
+plus any :class:`~msgwam_tpu.config.ModelConfig` field, e.g.::
+
+    {
+      "model": {"u0": 4.0, "kappa": 1.0, "saturate_online": false,
+                "hprop": false, "phi0": 0.0, "rr0": 40000.0},
+      "grid": {"n_face": 101, "z_max": 100e3},
+      "run": {"dt": 120.0, "n_steps": 1440, "save_every": 10},
+      "source": {"kind": "wave_packet", "n_ray": 60, "alpha": 0.01},
+      "background": "sine",
+      "dtype": "float64"
+    }
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+REFERENCE_PRESET = {
+    "model": {
+        "bvf": 0.01, "boussinesq": False, "sig_rr": 10000.0, "u0": 4.0,
+        "rr0": 40000.0, "rr1": 40000.0, "phi0": 0.0, "kappa": 1.0,
+        "saturate_online": False, "hprop": False,
+    },
+    "grid": {"n_face": 101, "z_max": 100e3},
+    "run": {"dt": 120.0, "n_steps": 1440, "save_every": 1},
+    "source": {"kind": "wave_packet", "n_ray": 60, "alpha": 0.01},
+    "background": "sine",
+    "dtype": "float64",
+}
+
+FAST_PRESET = {
+    "model": {
+        "bvf": 0.01, "u0": 4.0, "rr0": 40000.0, "phi0": 0.0, "kappa": 1.0,
+        "saturate_online": True, "hprop": False,
+        "projection_backend": "mxu", "interp_backend": "mxu",
+    },
+    "grid": {"n_face": 101, "z_max": 100e3},
+    "run": {"dt": 120.0, "n_steps": 720, "save_every": 10},
+    "source": {"kind": "gaussian_spectrum", "n_ray": 100000,
+               "z_launch": 2000.0, "dz_launch": 500.0,
+               "amplitude_alpha": 0.003},
+    "background": "sine",
+    "dtype": "float32",
+}
+
+PRESETS = {"reference": REFERENCE_PRESET, "fast": FAST_PRESET}
+
+BACKGROUNDS = {
+    "sine": "velocities_sine_homogeneous",
+    "tanh": "velocities_tanh_homogeneous",
+    "gauss": "velocities_gauss_homogeneous",
+    "zero": None,
+}
+
+
+def _load_config(args) -> dict:
+    if args.config:
+        with open(args.config) as f:
+            spec = json.load(f)
+    else:
+        spec = json.loads(json.dumps(PRESETS[args.preset]))  # deep copy
+    if args.steps:
+        spec["run"]["n_steps"] = args.steps
+        spec["run"]["save_every"] = min(
+            spec["run"].get("save_every", 1), args.steps
+        )
+    return spec
+
+
+def run_experiment(spec: dict, out_dir: str, make_plot: bool = True) -> dict:
+    from .utils.xla import apply_recommended_xla_flags
+
+    apply_recommended_xla_flags()
+    import jax
+
+    if spec.get("dtype", "float64") == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import (
+        GridConfig, MeanState, ModelConfig, RunConfig, State,
+        gaussian_spectrum_source, make_background, simulate, wave_packet_ic,
+    )
+    from . import models as _models
+    from .diagnostics import wave_action_history
+    from .utils.checkpoint import save_checkpoint
+
+    dtype = jnp.float64 if spec.get("dtype") == "float64" else jnp.float32
+    cfg = ModelConfig(dtype=str(np.dtype(dtype)), **spec.get("model", {}))
+    gc = GridConfig(**spec.get("grid", {}))
+    run = RunConfig(**spec.get("run", {}))
+
+    centers = jnp.asarray(gc.centers(), dtype)
+    bg_name = BACKGROUNDS[spec.get("background", "sine")]
+    if bg_name is None:
+        uu = jnp.zeros_like(centers)
+    else:
+        uu = getattr(_models, bg_name)(centers, cfg).astype(dtype)
+    vv = jnp.zeros_like(uu)
+    bg = make_background(gc, cfg, uu, vv, dtype=dtype)
+
+    src = dict(spec.get("source", {"kind": "wave_packet"}))
+    kind = src.pop("kind", "wave_packet")
+    if kind == "wave_packet":
+        rays, statics = wave_packet_ic(gc, cfg, bg, dtype=dtype, **src)
+    elif kind == "gaussian_spectrum":
+        n_ray = src.pop("n_ray")
+        rays, statics = gaussian_spectrum_source(cfg, bg, n_ray, dtype=dtype, **src)
+    else:
+        raise ValueError(f"unknown source kind {kind!r}")
+    state = State(rays, MeanState(uu, vv))
+    source = (rays, statics) if cfg.relaunch else None
+
+    final, statics_f, hist = jax.jit(
+        lambda s, st: simulate(s, st, bg, cfg, run, source=source)
+    )(state, statics)
+    hist_state, hist_active, _ = hist
+
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt = os.path.join(out_dir, "final_state.npz")
+    save_checkpoint(ckpt, final, statics_f, step=run.n_steps,
+                    extra={"spec": spec})
+
+    diag = wave_action_history(hist_state.rays, hist_active, statics_f, bg, cfg)
+    np.savez(
+        os.path.join(out_dir, "diagnostics.npz"),
+        wave_action=np.asarray(diag.wave_action),
+        flux=np.asarray(diag.flux),
+        tendency=np.asarray(diag.tendency),
+        u=np.asarray(hist_state.mean.u),
+        v=np.asarray(hist_state.mean.v),
+        time=np.arange(1, run.n_steps // run.save_every + 1) * run.dt * run.save_every,
+    )
+    fig_path = None
+    if make_plot:
+        from .plotting import plot_wave_action_panels
+
+        fig_path = os.path.join(out_dir, "wave_action.png")
+        t = np.arange(1, run.n_steps // run.save_every + 1) * run.dt * run.save_every
+        plot_wave_action_panels(
+            t, np.asarray(bg.faces[:-1] + 0.5 * (bg.faces[1] - bg.faces[0])),
+            np.asarray(diag.wave_action), np.asarray(diag.tendency),
+            plot_max_s=float(t[-1]), show=False, save_path=fig_path,
+        )
+    return {"checkpoint": ckpt, "figure": fig_path, "out_dir": out_dir}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="msgwam_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run an experiment")
+    runp.add_argument("--config", help="JSON experiment config")
+    runp.add_argument("--preset", choices=sorted(PRESETS), default="reference")
+    runp.add_argument("--steps", type=int, help="override n_steps")
+    runp.add_argument("--out", default="results")
+    runp.add_argument("--no-plot", action="store_true")
+    sub.add_parser("bench", help="run the metric-of-record benchmark")
+    args = ap.parse_args(argv)
+
+    if args.cmd == "bench":
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, root)
+        import bench
+
+        bench.main()
+        return
+
+    spec = _load_config(args)
+    result = run_experiment(spec, args.out, make_plot=not args.no_plot)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

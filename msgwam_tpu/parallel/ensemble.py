@@ -12,6 +12,7 @@ chip, which at ~10 floats/ray means ~10^8 rays.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -59,28 +60,74 @@ def ensemble_simulate(
     chip vs ~2.8 ms/step for the same 1e6 rays in one member), while
     sequential members each run at full single-member speed.
     """
-    if observe is None:
-        observe = lambda s, st, aux: s.mean
+    fn = build_ensemble_fn(
+        cfg, run, mesh=mesh, observe=observe, axis=axis, sequential=sequential
+    )
+    if mesh is not None:
+        shard = NamedSharding(mesh, P(axis))
+        states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
+        statics = jax.tree.map(lambda x: jax.device_put(x, shard), statics)
+    return fn(states, statics, bg)
 
-    member = lambda s, st: simulate(s, st, bg, cfg, run, observe=observe)
+
+def _default_observe(s, st, aux):
+    return s.mean
+
+
+@functools.lru_cache(maxsize=64)
+def build_ensemble_fn(
+    cfg: ModelConfig,
+    run: RunConfig,
+    mesh: Optional[Mesh] = None,
+    observe: Optional[Callable] = None,
+    axis: str = ENSEMBLE_AXIS,
+    sequential: bool = False,
+) -> Callable:
+    """Build (and cache) the jitted ensemble runner
+    ``f(states, statics, bg) -> (final, statics, history)``.
+
+    Cached on (cfg, run, mesh, observe, axis, sequential), so repeated
+    calls — and :func:`ensemble_simulate` — reuse the compiled program.
+    ``observe`` must be hashable (a top-level function) to hit the cache.
+    """
+    obs = observe or _default_observe
+    member = lambda s, st, bg: simulate(s, st, bg, cfg, run, observe=obs)
+
     if sequential:
-        f = lambda ss, stst: jax.lax.map(lambda x: member(*x), (ss, stst))
-        return jax.jit(f)(states, statics)
+        f = lambda ss, stst, bg: jax.lax.map(
+            lambda x: member(*x, bg), (ss, stst)
+        )
+        return jax.jit(f)
 
-    f = jax.vmap(member)
+    f = jax.vmap(member, in_axes=(0, 0, None))
     if mesh is None:
-        return jax.jit(f)(states, statics)
+        return jax.jit(f)
+
     # shard_map over the member axis: each device runs a plain vmap over its
     # local members; no cross-member communication exists, so in/out specs
-    # are all P(axis) and the background stays a replicated closure constant.
-    spec = jax.tree.map(lambda _: P(axis), states)
-    spec_st = jax.tree.map(lambda _: P(axis), statics)
-    out_shape = jax.eval_shape(f, states, statics)
-    out_spec = jax.tree.map(lambda _: P(axis), out_shape)
-    mapped = jax.shard_map(
-        f, mesh=mesh, in_specs=(spec, spec_st), out_specs=out_spec
-    )
-    shard = NamedSharding(mesh, P(axis))
-    states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
-    statics = jax.tree.map(lambda x: jax.device_put(x, shard), statics)
-    return jax.jit(mapped)(states, statics)
+    # are all P(axis) and the background is replicated.  The output spec
+    # depends on shapes, so the jitted shard_map is built lazily per input
+    # shape (memoized) — and the eval_shape runs on plain ShapeDtypeStructs
+    # so sharded avals never reach the vmap trace.
+    compiled = {}
+
+    def runner(states, statics, bg):
+        leaves = jax.tree.leaves((states, statics, bg))
+        key = tuple((l.shape, str(l.dtype)) for l in leaves)
+        if key not in compiled:
+            shapes = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                (states, statics, bg),
+            )
+            out_shape = jax.eval_shape(f, *shapes)
+            out_spec = jax.tree.map(lambda _: P(axis), out_shape)
+            spec = jax.tree.map(lambda _: P(axis), states)
+            spec_st = jax.tree.map(lambda _: P(axis), statics)
+            bg_spec = jax.tree.map(lambda _: P(), bg)
+            compiled[key] = jax.jit(jax.shard_map(
+                f, mesh=mesh,
+                in_specs=(spec, spec_st, bg_spec), out_specs=out_spec,
+            ))
+        return compiled[key](states, statics, bg)
+
+    return runner

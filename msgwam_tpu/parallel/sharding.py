@@ -17,6 +17,7 @@ roundoff (tested at 1e-12 in float64), not bitwise.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -101,24 +102,68 @@ def sharded_simulate(
     profile per saved step; a custom ``observe`` needs a matching
     ``observe_spec`` PartitionSpec pytree for its output.
     """
+    fn = build_sharded_simulate_fn(
+        mesh, cfg, run, observe=observe, observe_spec=observe_spec, axis=axis
+    )
+    state, statics = shard_state(mesh, state, statics, axis)
+    if source is None:
+        return fn(state, statics, bg)
+    return fn(state, statics, bg, source)
+
+
+def _default_observe(s, st, aux):
+    return s.mean
+
+
+@functools.lru_cache(maxsize=64)
+def build_sharded_simulate_fn(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    run: RunConfig,
+    observe: Optional[Callable] = None,
+    observe_spec=None,
+    axis: str = RAY_AXIS,
+    with_source: bool = False,
+) -> Callable:
+    """Build (and cache) the jitted sharded runner
+    ``f(state, statics, bg[, source]) -> (final, statics, history)``.
+    Cached on its (hashable) arguments so repeated calls reuse the
+    compiled program; ``observe`` must be a top-level function."""
     state_spec, statics_spec = ray_sharding_specs(axis)
     if observe is None:
-        observe = lambda s, st, aux: s.mean
+        observe = _default_observe
         observe_spec = MeanState(P(), P())
     elif observe_spec is None:
         raise ValueError("custom observe requires observe_spec")
+    bg_spec = Background(P(), P(), P(), P())
+    source_spec = (
+        RayState(*([state_spec.rays[0]] * len(RayState._fields))),
+        statics_spec,
+    )
 
-    def body(state, statics):
+    def body(state, statics, bg, source=None):
         return simulate(
             state, statics, bg, cfg, run,
             observe=observe, source=source, axis_name=axis,
         )
 
-    mapped = jax.shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(state_spec, statics_spec),
-        out_specs=(state_spec, statics_spec, observe_spec),
-    )
-    state, statics = shard_state(mesh, state, statics, axis)
-    return jax.jit(mapped)(state, statics)
+    def run_plain(state, statics, bg):
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(state_spec, statics_spec, bg_spec),
+            out_specs=(state_spec, statics_spec, observe_spec),
+        )(state, statics, bg)
+
+    def run_src(state, statics, bg, source):
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(state_spec, statics_spec, bg_spec, source_spec),
+            out_specs=(state_spec, statics_spec, observe_spec),
+        )(state, statics, bg, source)
+
+    def dispatch(state, statics, bg, source=None):
+        if source is None:
+            return jax.jit(run_plain)(state, statics, bg)
+        return jax.jit(run_src)(state, statics, bg, source)
+
+    return dispatch
