@@ -82,6 +82,10 @@ class ModelConfig:
     # Interpolation backend: "gather" (np.interp-exact; parity mode) or
     # "mxu" (hat-basis matmul; TPU fast path).
     interp_backend: str = "gather"
+    # RHS backend: "xla" (composable jnp ops, any configuration) or
+    # "pallas" (one fused TPU kernel per RHS evaluation; float32,
+    # hprop=False only — see ops/rhs_pallas.py).
+    rhs_backend: str = "xla"
 
     # Prognostic mean flow (wave–mean-flow coupling on).  False freezes the
     # wind tendencies — a truly *fixed* background (BASELINE config 1), or,

@@ -75,6 +75,8 @@ def rhs(
 ) -> State:
     """d(state)/dt.  ``cfg`` is jit-static; ``axis_name`` names the sharded
     ray axis for the cross-shard flux reduction (None = single shard)."""
+    if cfg.rhs_backend == "pallas":
+        return _rhs_via_fused_kernel(dt, state, statics, bg, cfg, axis_name)
     rays, mean = state
     active = statics.active
 
@@ -151,10 +153,49 @@ def rhs(
 
     # inactive slots are frozen: zero tendencies everywhere
     z = jnp.zeros((), dtype=rays.dens.dtype)
-    msk = lambda t: jnp.where(active, t, z)
+    msk = lambda t: jnp.where(active, t, z).astype(rays.dens.dtype)
     ray_st = RayState(
         dens=msk(dens_st), lam=msk(dlam_st), phi=msk(dphi_st),
         r=msk(drr_st), dr=msk(ddrr_st),
         k=msk(dkk_st), l=msk(dll_st), m=msk(dmm_st), dm=msk(ddmm_st),
     )
-    return State(ray_st, MeanState(du_st, dv_st))
+    # cast back: weak-type promotion (e.g. the f64-weak Coriolis scalar
+    # under x64) must not change the carried state dtype
+    return State(ray_st, MeanState(du_st.astype(mean.u.dtype),
+                                   dv_st.astype(mean.v.dtype)))
+
+
+def _rhs_via_fused_kernel(dt, state, statics, bg, cfg, axis_name):
+    """RHS through the fused pallas kernel (``ops/rhs_pallas.py``): the
+    kernel returns the three active ray tendencies (hprop=False) plus the
+    interior flux; boundary padding, flux divergence, and the mean-flow
+    tendencies are the same XLA glue as the composable path."""
+    from ..ops.rhs_pallas import rhs_fused
+
+    rays, mean = state
+    tend, pm_interior = rhs_fused(dt, state, statics, bg, cfg)
+    if axis_name is not None:
+        pm_interior = jax.lax.psum(pm_interior, axis_name)
+
+    edge_lo = pm_interior[:, :1]
+    edge_hi = pm_interior[:, -1:]
+    pm_flux = jnp.concatenate([edge_lo, pm_interior, edge_hi], axis=1)
+    dz = bg.faces[1] - bg.faces[0]
+    pm_flux_gradient = (pm_flux[:, 1:] - pm_flux[:, :-1]) / dz
+
+    if cfg.prognostic_mean:
+        ff = coriolis(cfg.phi0)
+        du_st = ff * mean.v - (bg.pressure_gradient[0] + pm_flux_gradient[0]) / bg.rhobar
+        dv_st = -ff * mean.u - (bg.pressure_gradient[1] + pm_flux_gradient[1]) / bg.rhobar
+    else:
+        du_st = jnp.zeros_like(mean.u)
+        dv_st = jnp.zeros_like(mean.v)
+
+    zero = jnp.zeros_like(rays.dens)
+    ray_st = RayState(
+        dens=tend["dens"].astype(rays.dens.dtype), lam=zero, phi=zero,
+        r=tend["r"].astype(rays.dens.dtype), dr=zero,
+        k=zero, l=zero, m=tend["m"].astype(rays.dens.dtype), dm=zero,
+    )
+    return State(ray_st, MeanState(du_st.astype(mean.u.dtype),
+                                   dv_st.astype(mean.v.dtype)))

@@ -1,0 +1,67 @@
+"""The fused-RHS pallas kernel (interpret mode on CPU) against the XLA
+path: identical physics at float32 tolerance, including through RK3 steps
+and inactive-slot masking."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import msgwam_tpu as mt
+
+
+def _setup(n=1500, pad_to=2048):
+    cfg = mt.REFERENCE_RUN_CONFIG.replace(
+        saturate_online=True, dtype="float32",
+        projection_backend="mxu", interp_backend="mxu",
+    )
+    gc = mt.GridConfig()
+    centers = gc.centers()
+    uu = np.asarray(
+        mt.velocities_sine_homogeneous(jnp.asarray(centers, jnp.float32), cfg)
+    ).astype(np.float32)
+    bg = mt.make_background(gc, cfg, uu, np.zeros_like(uu), dtype=jnp.float32)
+    rays, statics = mt.gaussian_spectrum_source(cfg, bg, n, dtype=jnp.float32)
+    rays, statics = mt.pad_rays(rays, statics, pad_to)
+    state = mt.State(
+        rays,
+        mt.MeanState(jnp.asarray(uu), jnp.zeros_like(jnp.asarray(uu))),
+    )
+    return cfg, bg, state, statics
+
+
+def _rel(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-30)
+
+
+def test_fused_rhs_matches_xla():
+    from msgwam_tpu.models.rhs import rhs
+
+    cfg, bg, state, statics = _setup()
+    a = rhs(120.0, state, statics, bg, cfg)
+    b = rhs(120.0, state, statics, bg, cfg.replace(rhs_backend="pallas"))
+    assert _rel(a.rays.dens, b.rays.dens) < 2e-5
+    assert _rel(a.rays.r, b.rays.r) < 2e-5
+    assert _rel(a.rays.m, b.rays.m) < 2e-5
+    assert _rel(a.mean.u, b.mean.u) < 2e-5
+    for f in ("lam", "phi", "dr", "k", "l", "dm"):
+        assert np.all(np.asarray(getattr(b.rays, f)) == 0), f
+
+
+def test_fused_step_trajectory():
+    cfg, bg, state, statics = _setup(n=500, pad_to=1024)
+    run = mt.RunConfig(dt=120.0, n_steps=5, save_every=5)
+    a, _, _ = jax.jit(
+        lambda s, st: mt.simulate(s, st, bg, cfg, run)
+    )(state, statics)
+    cfgp = cfg.replace(rhs_backend="pallas")
+    b, _, _ = jax.jit(
+        lambda s, st: mt.simulate(s, st, bg, cfgp, run)
+    )(state, statics)
+    assert _rel(a.rays.r, b.rays.r) < 1e-4
+    assert _rel(a.rays.m, b.rays.m) < 1e-4
+    assert _rel(a.mean.u, b.mean.u) < 1e-4
+    # padded slots stayed frozen in both
+    np.testing.assert_array_equal(
+        np.asarray(b.rays.r[500:]), np.asarray(state.rays.r[500:])
+    )
