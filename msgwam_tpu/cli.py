@@ -80,7 +80,13 @@ def _load_config(args) -> dict:
     return spec
 
 
-def run_experiment(spec: dict, out_dir: str, make_plot: bool = True) -> dict:
+def run_experiment(
+    spec: dict,
+    out_dir: str,
+    make_plot: bool = True,
+    log_every: int = 0,
+    resume_from: str = None,
+) -> dict:
     from .utils.xla import apply_recommended_xla_flags
 
     apply_recommended_xla_flags()
@@ -125,14 +131,47 @@ def run_experiment(spec: dict, out_dir: str, make_plot: bool = True) -> dict:
     state = State(rays, MeanState(uu, vv))
     source = (rays, statics) if cfg.relaunch else None
 
-    final, statics_f, hist = jax.jit(
-        lambda s, st: simulate(s, st, bg, cfg, run, source=source)
-    )(state, statics)
+    step0 = 0
+    if resume_from:
+        from .utils.checkpoint import load_checkpoint
+
+        state, statics, step0, _, _ = load_checkpoint(resume_from)
+        print(f"resumed from {resume_from} at step {step0}")
+
+    sim = jax.jit(
+        lambda s, st, r: simulate(s, st, bg, cfg, r, source=source),
+        static_argnums=(2,),
+    )
+    if log_every:
+        # host-chunked stepping with structured progress metrics
+        from .utils.metrics import MetricsLogger
+        import logging
+
+        logging.basicConfig(level=logging.INFO, format="%(message)s")
+        chunk = RunConfig(dt=run.dt, n_steps=log_every,
+                          save_every=run.save_every)
+        if log_every % run.save_every or run.n_steps % log_every:
+            raise ValueError("log_every must tile save_every and n_steps")
+        logger = MetricsLogger(run.n_steps, every=log_every)
+        pieces = []
+        for start in range(0, run.n_steps, log_every):
+            state, statics, h = sim(state, statics, chunk)
+            jax.block_until_ready(state)
+            logger.record(
+                start + log_every,
+                max_u=float(jnp.max(jnp.abs(state.mean.u))),
+                active=float(jnp.sum(statics.active)),
+            )
+            pieces.append(h)
+        hist = jax.tree.map(lambda *xs: jnp.concatenate(xs), *pieces)
+        final, statics_f = state, statics
+    else:
+        final, statics_f, hist = sim(state, statics, run)
     hist_state, hist_active, _ = hist
 
     os.makedirs(out_dir, exist_ok=True)
     ckpt = os.path.join(out_dir, "final_state.npz")
-    save_checkpoint(ckpt, final, statics_f, step=run.n_steps,
+    save_checkpoint(ckpt, final, statics_f, step=step0 + run.n_steps,
                     extra={"spec": spec})
 
     diag = wave_action_history(hist_state.rays, hist_active, statics_f, bg, cfg)
@@ -168,6 +207,9 @@ def main(argv=None):
     runp.add_argument("--steps", type=int, help="override n_steps")
     runp.add_argument("--out", default="results")
     runp.add_argument("--no-plot", action="store_true")
+    runp.add_argument("--log-every", type=int, default=0,
+                      help="emit structured progress metrics every N steps")
+    runp.add_argument("--resume", help="checkpoint (.npz) to resume from")
     sub.add_parser("bench", help="run the metric-of-record benchmark")
     args = ap.parse_args(argv)
 
@@ -180,7 +222,10 @@ def main(argv=None):
         return
 
     spec = _load_config(args)
-    result = run_experiment(spec, args.out, make_plot=not args.no_plot)
+    result = run_experiment(
+        spec, args.out, make_plot=not args.no_plot,
+        log_every=args.log_every, resume_from=args.resume,
+    )
     print(json.dumps(result))
 
 
