@@ -1,0 +1,58 @@
+"""The config-file CLI driver end to end (CPU, tiny runs)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, **kw):
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", MPLBACKEND="Agg")
+    return subprocess.run(
+        [sys.executable, "-m", "msgwam_tpu"] + args,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600, **kw,
+    )
+
+
+def test_run_preset_and_resume(tmp_path):
+    out1 = tmp_path / "a"
+    r = _run(["run", "--preset", "reference", "--steps", "20",
+              "--out", str(out1), "--no-plot"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    result = json.loads(r.stdout.strip().splitlines()[-1])
+    assert os.path.exists(result["checkpoint"])
+    d = np.load(out1 / "diagnostics.npz")
+    assert d["wave_action"].shape[1] == 100
+    assert np.all(np.isfinite(d["wave_action"]))
+
+    out2 = tmp_path / "b"
+    r2 = _run(["run", "--preset", "reference", "--steps", "10",
+               "--out", str(out2), "--no-plot",
+               "--resume", str(out1 / "final_state.npz")])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "resumed" in r2.stdout
+
+
+def test_run_json_config(tmp_path):
+    spec = {
+        "model": {"u0": 4.0, "phi0": 0.0, "kappa": 1.0, "hprop": False,
+                  "saturate_online": True, "rr0": 40000.0,
+                  "projection_backend": "mxu", "interp_backend": "mxu"},
+        "grid": {"n_face": 101, "z_max": 100e3},
+        "run": {"dt": 120.0, "n_steps": 10, "save_every": 5},
+        "source": {"kind": "gaussian_spectrum", "n_ray": 100},
+        "background": "tanh",
+        "dtype": "float32",
+    }
+    cfg_path = tmp_path / "exp.json"
+    cfg_path.write_text(json.dumps(spec))
+    out = tmp_path / "out"
+    r = _run(["run", "--config", str(cfg_path), "--out", str(out),
+              "--no-plot", "--log-every", "5"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "diagnostics.npz").exists()
