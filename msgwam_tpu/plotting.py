@@ -61,3 +61,37 @@ def plot_wave_action_panels(
     if show:
         plt.show()
     return fig, ax
+
+
+def plot_wind_evolution(
+    time_s,
+    centers_m,
+    u_history,
+    vmax: float = 15.0,
+    show: bool = True,
+    save_path=None,
+):
+    """Mean-wind evolution U(z, t) pcolormesh — the panel the reference
+    driver sketches but leaves commented out (``raytracer.py:255-256``)."""
+    import matplotlib
+    if save_path is not None and not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.style.use("ggplot")
+    fig, ax = plt.subplots(figsize=(5, 4))
+    img = ax.pcolormesh(
+        np.asarray(time_s) / 3600.0,
+        np.asarray(centers_m) / 1000.0,
+        np.asarray(u_history).T,
+        vmin=-vmax, vmax=vmax, cmap="bwr",
+    )
+    ax.set_xlabel("time (h)")
+    ax.set_ylabel("altitude (km)")
+    fig.colorbar(img, ax=ax, label="U (m/s)")
+    fig.tight_layout()
+    if save_path is not None:
+        fig.savefig(save_path, dpi=120)
+    if show:
+        plt.show()
+    return fig, ax

@@ -177,3 +177,63 @@ def test_wave_projection_and_physics_functions(reference_libprop):
                 np.full(n, 1e-4), np.full(n, 1e-4), dmm,
                 shim.grids, var=var),
             rtol=1e-11, atol=1e-20, err_msg=f"var={var}")
+
+
+def test_rhs_default_fuzz_hprop_on(reference_libprop):
+    """Full rhs_default assembly vs the reference on random states with
+    horizontal propagation ON (spherical metric terms, df2/dphi, cg_lambda/
+    cg_phi advection — the paths the default driver never runs)."""
+    _driver_setup(shim)
+    _driver_setup(reference_libprop)
+    shim.HPROP_GLOBAL = True
+    reference_libprop.HPROP_GLOBAL = True
+    shim.set_model_setup(saturate_online=False)
+    reference_libprop.set_model_setup(saturate_online=False)
+    rng = np.random.default_rng(11)
+    n = 60  # matches the per-ray statics arrays from _driver_setup
+    for trial in range(3):
+        var = np.array([
+            np.abs(rng.normal(size=n)) * 1e9,          # dens
+            rng.uniform(-0.1, 0.1, n),                  # lam
+            rng.uniform(-1.2, 1.2, n),                  # phi
+            rng.uniform(1e3, 99e3, n),                  # rr
+            rng.uniform(100, 1500, n),                  # drr
+            rng.uniform(1e-5, 1e-3, n),                 # kk
+            rng.uniform(-1e-3, 1e-3, n),                # ll
+            rng.uniform(-1e-2, -1e-4, n),               # mm
+            np.abs(rng.normal(size=n)) * 1e-4,          # dmm
+            rng.normal(size=100) * 10,                  # uu
+            rng.normal(size=100) * 5,                   # vv
+        ], dtype=object)
+        ours = shim.rhs_default(120.0, var)
+        ref = reference_libprop.rhs_default(120.0, var)
+        for i in range(11):
+            np.testing.assert_allclose(
+                np.asarray(ours[i], dtype=float), np.asarray(ref[i], dtype=float),
+                rtol=1e-10, atol=1e-25, err_msg=f"trial {trial} field {i}",
+            )
+    reference_libprop.HPROP_GLOBAL = False
+
+
+def test_rk3_trajectory_hprop_on(reference_libprop):
+    """Multi-step RK3 parity with horizontal propagation on at mid-latitude
+    (all four position/wavenumber tendencies active)."""
+    state_s, grid, grids = _driver_setup(shim)
+    state_r, _, _ = _driver_setup(reference_libprop)
+    for mod in (shim, reference_libprop):
+        mod.HPROP_GLOBAL = True
+        mod.set_model_setup(phi0=np.deg2rad(-45))
+        mod.set_hydrostatics()
+    # non-equatorial latitude so Coriolis terms are active
+    state_s[2] = state_s[2] + np.deg2rad(-45)
+    state_r[2] = state_r[2] + np.deg2rad(-45)
+    out_s, out_r = state_s, state_r
+    for _ in range(5):
+        out_s = shim.RK3(120.0, out_s)
+        out_r = reference_libprop.RK3(120.0, out_r)
+    for i in range(11):
+        np.testing.assert_allclose(
+            np.asarray(out_s[i], dtype=float), np.asarray(out_r[i], dtype=float),
+            rtol=1e-9, atol=1e-20, err_msg=f"state field {i}",
+        )
+    reference_libprop.HPROP_GLOBAL = False
