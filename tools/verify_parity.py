@@ -1,7 +1,8 @@
 """Verify drive: full default-run parity vs reference + probes, all through
 the public msgwam_tpu API."""
 import os, sys, time
-os.environ["JAX_PLATFORMS"] = "cpu"
+# the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME works
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_disable_hlo_passes=while_loop_unroller"
