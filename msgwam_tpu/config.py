@@ -82,6 +82,9 @@ class ModelConfig:
     # Interpolation backend: "gather" (np.interp-exact; parity mode) or
     # "mxu" (hat-basis matmul; TPU fast path).
     interp_backend: str = "gather"
+    # Time integrator: "rk3" (the reference's Williamson low-storage RK3,
+    # lib/libprop.py:680-700), "rk4", or "euler".
+    integrator: str = "rk3"
     # RHS backend: "xla" (composable jnp ops, any configuration) or
     # "pallas" (one fused TPU kernel per RHS evaluation; float32,
     # hprop=False only — see ops/rhs_pallas.py).

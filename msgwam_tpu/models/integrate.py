@@ -44,6 +44,32 @@ def williamson_rk3(f: Callable, y, dt):
     return y
 
 
+def forward_euler(f: Callable, y, dt):
+    """First-order forward Euler over any pytree (build-side alternative
+    integrator; the reference only has RK3)."""
+    return jax.tree.map(lambda t, v: v + dt * t, f(y), y)
+
+
+def rk4(f: Callable, y, dt):
+    """Classic 4th-order Runge-Kutta over any pytree (build-side
+    alternative; more accurate, 4 RHS evaluations per step)."""
+    k1 = f(y)
+    k2 = f(jax.tree.map(lambda t, v: v + 0.5 * dt * t, k1, y))
+    k3 = f(jax.tree.map(lambda t, v: v + 0.5 * dt * t, k2, y))
+    k4 = f(jax.tree.map(lambda t, v: v + dt * t, k3, y))
+    return jax.tree.map(
+        lambda a, b, c, d, v: v + dt / 6.0 * (a + 2.0 * b + 2.0 * c + d),
+        k1, k2, k3, k4, y,
+    )
+
+
+INTEGRATORS = {
+    "rk3": williamson_rk3,
+    "rk4": rk4,
+    "euler": forward_euler,
+}
+
+
 def rk3_step(
     dt,
     state: State,
@@ -53,12 +79,13 @@ def rk3_step(
     axis_name: Optional[str] = None,
     rhs: Callable = rhs_default,
 ) -> State:
-    """One Williamson RK3 step of the coupled system.  Like the reference,
-    the full ``dt`` is passed to every stage's RHS (``lib/libprop.py:693-697``
-    — only online saturation consumes it; SURVEY.md quirk 6)."""
-    return williamson_rk3(
-        lambda s: rhs(dt, s, statics, bg, cfg, axis_name), state, dt
-    )
+    """One integrator step of the coupled system (``cfg.integrator``
+    selects rk3/rk4/euler; default is the reference's Williamson RK3).
+    Like the reference, the full ``dt`` is passed to every stage's RHS
+    (``lib/libprop.py:693-697`` — only online saturation consumes it;
+    SURVEY.md quirk 6)."""
+    integ = INTEGRATORS[cfg.integrator]
+    return integ(lambda s: rhs(dt, s, statics, bg, cfg, axis_name), state, dt)
 
 
 class StepAux(NamedTuple):

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import GridConfig, ModelConfig
-from ..state import Background, MeanState, RayState, RayStatics, State, coriolis
+from ..state import Background, RayState, RayStatics, State, coriolis
 from ..ops.dispersion import omega
 from ..ops.interp import grid_interp
 

@@ -6,23 +6,42 @@ import jax
 import jax.numpy as jnp
 
 import msgwam_tpu as mt
-from msgwam_tpu.models.integrate import williamson_rk3
+import pytest
+
+from msgwam_tpu.models.integrate import INTEGRATORS, williamson_rk3
 
 
-def test_rk3_third_order():
-    """Williamson RK3 converges at 3rd order on y' = -y."""
-    y0 = 1.0
+@pytest.mark.parametrize("name,expect_order", [
+    ("rk3", 3), ("rk4", 4), ("euler", 1),
+])
+def test_integrator_order(name, expect_order):
+    """Each integrator converges at its nominal order on y' = -y."""
     T = 1.0
+    integ = INTEGRATORS[name]
     errs = []
     for n in (16, 32, 64):
         dt = T / n
-        y = jnp.asarray(y0)
+        y = jnp.asarray(1.0)
         for _ in range(n):
-            y = williamson_rk3(lambda v: -v, y, dt)
+            y = integ(lambda v: -v, y, dt)
         errs.append(abs(float(y) - np.exp(-T)))
     order1 = np.log2(errs[0] / errs[1])
     order2 = np.log2(errs[1] / errs[2])
-    assert 2.7 < order1 < 3.3 and 2.7 < order2 < 3.3, (errs, order1, order2)
+    assert expect_order - 0.35 < order1 < expect_order + 0.35, (errs, order1)
+    assert expect_order - 0.35 < order2 < expect_order + 0.35, (errs, order2)
+
+
+def test_rk4_integrator_full_model():
+    """The alternative integrator drives the coupled model and stays close
+    to RK3 at the same step size."""
+    cfg, gc, bg, state, statics = _default_setup()
+    run = mt.RunConfig(dt=120.0, n_steps=50, save_every=50)
+    a, _, _ = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))(state, statics)
+    cfg4 = cfg.replace(integrator="rk4")
+    b, _, _ = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg4, run))(state, statics)
+    np.testing.assert_allclose(
+        np.asarray(a.rays.r), np.asarray(b.rays.r), rtol=1e-5
+    )
 
 
 def _default_setup(n_ray=60, coupled=True):
