@@ -86,6 +86,7 @@ def run_experiment(
     make_plot: bool = True,
     log_every: int = 0,
     resume_from: str = None,
+    stream_history: bool = False,
 ) -> dict:
     from .utils.xla import apply_recommended_xla_flags
 
@@ -153,6 +154,15 @@ def run_experiment(
         if log_every % run.save_every or run.n_steps % log_every:
             raise ValueError("log_every must tile save_every and n_steps")
         logger = MetricsLogger(run.n_steps, every=log_every)
+        writer = None
+        if stream_history:
+            from .utils.history_io import HistoryWriter
+
+            os.makedirs(out_dir, exist_ok=True)
+            writer = HistoryWriter(
+                os.path.join(out_dir, "u_history.msgw"),
+                (gc.n_cell,), np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype),
+            )
         pieces = []
         for start in range(0, run.n_steps, log_every):
             state, statics, h = sim(state, statics, chunk)
@@ -162,7 +172,11 @@ def run_experiment(
                 max_u=float(jnp.max(jnp.abs(state.mean.u))),
                 active=float(jnp.sum(statics.active)),
             )
+            if writer is not None:
+                writer.push(np.asarray(state.mean.u))
             pieces.append(h)
+        if writer is not None:
+            writer.close()
         hist = jax.tree.map(lambda *xs: jnp.concatenate(xs), *pieces)
         final, statics_f = state, statics
     else:
@@ -210,6 +224,9 @@ def main(argv=None):
     runp.add_argument("--log-every", type=int, default=0,
                       help="emit structured progress metrics every N steps")
     runp.add_argument("--resume", help="checkpoint (.npz) to resume from")
+    runp.add_argument("--stream-history", action="store_true",
+                      help="stream wind profiles to disk via the native "
+                           "async writer (requires --log-every)")
     sub.add_parser("bench", help="run the metric-of-record benchmark")
     args = ap.parse_args(argv)
 
@@ -225,6 +242,7 @@ def main(argv=None):
     result = run_experiment(
         spec, args.out, make_plot=not args.no_plot,
         log_every=args.log_every, resume_from=args.resume,
+        stream_history=args.stream_history,
     )
     print(json.dumps(result))
 
