@@ -325,9 +325,21 @@ def _pack(var):
 
 def _unpack(s: State):
     r = s.rays
-    fields = (r.dens, r.lam, r.phi, r.r, r.dr, r.k, r.l, r.m, r.dm,
-              s.mean.u, s.mean.v)
-    return np.array([np.asarray(f) for f in fields], dtype=object)
+    # r.r (= cg_r) is an array in every configuration; dens & co. may be
+    # structural scalar zeros
+    nray = np.asarray(r.r).shape[0]
+    ncell = np.asarray(s.mean.u).shape[0] if np.ndim(s.mean.u) else len(grids)
+
+    def arr(f, n):
+        # the functional core returns structurally-zero tendencies as
+        # scalars; the reference API contract is full-length arrays
+        a = np.asarray(f)
+        return np.broadcast_to(a, (n,)).copy() if a.ndim == 0 else a
+
+    fields = [arr(f, nray) for f in
+              (r.dens, r.lam, r.phi, r.r, r.dr, r.k, r.l, r.m, r.dm)]
+    fields += [arr(s.mean.u, ncell), arr(s.mean.v, ncell)]
+    return np.array(fields, dtype=object)
 
 
 def rhs_default(dt, var_in):

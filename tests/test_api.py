@@ -237,3 +237,13 @@ def test_rk3_trajectory_hprop_on(reference_libprop):
             rtol=1e-9, atol=1e-20, err_msg=f"state field {i}",
         )
     reference_libprop.HPROP_GLOBAL = False
+
+
+def test_rhs_default_returns_full_shapes(reference_libprop):
+    """Every field of the shim's rhs_default is a full-length array even
+    when structurally zero (reference API contract)."""
+    state_s, grid, grids = _driver_setup(shim)
+    out = shim.rhs_default(120.0, state_s)
+    for i in range(9):
+        assert np.shape(out[i]) == (60,), i
+    assert np.shape(out[9]) == (100,) and np.shape(out[10]) == (100,)
