@@ -123,7 +123,6 @@ def build_sharded_simulate_fn(
     observe: Optional[Callable] = None,
     observe_spec=None,
     axis: str = RAY_AXIS,
-    with_source: bool = False,
 ) -> Callable:
     """Build (and cache) the jitted sharded runner
     ``f(state, statics, bg[, source]) -> (final, statics, history)``.

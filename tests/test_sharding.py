@@ -133,3 +133,28 @@ def test_ensemble_sequential_matches_vmap():
     np.testing.assert_allclose(
         np.asarray(a[0].rays.dens), np.asarray(b[0].rays.dens), rtol=1e-12
     )
+
+
+def test_sharded_with_cull_and_relaunch():
+    """Sharded run with culling + relaunch source matches single-device."""
+    cfg = mt.REFERENCE_RUN_CONFIG.replace(
+        cull=True, relaunch=True, m_max=2 * np.pi / 2000.0,
+    )
+    gc = mt.GridConfig()
+    centers = gc.centers()
+    uu = 40.0 * np.tanh((centers - 30e3) / 1e4)
+    bg = mt.make_background(gc, cfg, uu, np.zeros_like(uu))
+    source = mt.gaussian_spectrum_source(cfg, bg, 64)
+    rays, statics = source
+    state = mt.State(rays, mt.MeanState(jnp.asarray(uu), jnp.zeros(100)))
+    run = mt.RunConfig(dt=120.0, n_steps=40, save_every=40)
+    ref, refst, _ = jax.jit(
+        lambda s, st: mt.simulate(s, st, bg, cfg, run, source=source)
+    )(state, statics)
+    mesh = make_mesh(8)
+    sf, stf, _ = sharded_simulate(mesh, state, statics, bg, cfg, run,
+                                  source=source)
+    np.testing.assert_allclose(
+        np.asarray(sf.mean.u), np.asarray(ref.mean.u), rtol=1e-12, atol=1e-15
+    )
+    np.testing.assert_array_equal(np.asarray(stf.active), np.asarray(refst.active))
