@@ -7,7 +7,7 @@ pytree.  Data flow per evaluation:
 * mean-flow → rays: one fused gather interpolating u, v, du/dz, dv/dz onto
   ray heights (the reference's ``gradients``, ``lib/libprop.py:328-366``);
 * per-ray elementwise physics: group velocities, refraction, (optional)
-  online saturation — all fused by XLA into one kernel over the ray batch;
+  online saturation — elementwise chains XLA fuses over the ray batch;
 * rays → mean-flow: the projection scatter of pseudo-momentum fluxes onto
   the staggered grid (``lib/libprop.py:653-660``), boundary padding by copy,
   flux divergence, and the wind tendencies (``lib/libprop.py:523-558``).

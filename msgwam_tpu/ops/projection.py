@@ -52,9 +52,10 @@ def _cell_spans(r_low, r_up, dz, n_points):
 def projection_weights(r_low, r_up, valid, grid, max_span: int):
     """Sparse overlap weights for every ray.
 
-    Returns ``(cells, weights)``, each ``(n, max_span)``: for ray ``i`` and
-    slot ``j``, ``weights[i, j]`` is the fractional-overlap weight of cell
-    ``cells[i, j]`` (a masked-off slot points at cell 0 with weight 0).
+    Returns ``(cells, weights, live)``, each ``(n, max_span)``: for ray
+    ``i`` and slot ``j``, ``weights[i, j]`` is the fractional-overlap weight
+    of cell ``cells[i, j]``, and ``live[i, j]`` marks real (unmasked,
+    in-span) slots; masked-off slots carry weight 0.
 
     ``max_span`` is the static bound on cells-per-ray; any ray overlapping
     more cells is truncated (choose ``max_span >= ceil(max dr/dz) + 1``).
@@ -106,11 +107,12 @@ def project_dense(values, r_low, r_up, phase_vol, valid, grid, max_span=None):
     """MXU projection backend: the deposit is a *dense* weight matrix
     contraction instead of a scatter.
 
-    TPU scatters (``segment_sum``) serialize; but the grid is tiny
-    (~100 cells), so the full per-(ray, cell) overlap-weight matrix is cheap
-    to form and the reduction over rays becomes a single matmul on the
-    systolic array: ``(nvar, n) @ (n, C)``.  XLA fuses the elementwise
-    weight construction into the matmul operand.  Semantics (index
+    TPU scatters (``segment_sum``) serialize (~4x slower than this form)
+    and per-ray gathers are worse still; the grid is tiny (~100 cells), so
+    the full per-(ray, cell) overlap-weight matrix is cheap to build with
+    lane-parallel VPU ops and the reduction over rays is one systolic-array
+    matmul ``(nvar, n) @ (n, C)`` (measured costs: docs/design.md §3).
+    Semantics (index
     arithmetic, clamping, out-of-domain mask, |overlap|) are identical to
     :func:`project`; only the summation order differs (parity mode should
     use the ``xla`` backend).

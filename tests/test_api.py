@@ -247,3 +247,21 @@ def test_rhs_default_returns_full_shapes(reference_libprop):
     for i in range(9):
         assert np.shape(out[i]) == (60,), i
     assert np.shape(out[9]) == (100,) and np.shape(out[10]) == (100,)
+
+
+def test_velocities_tanh_3d_matches_reference(reference_libprop):
+    """The 3-D tanh jet incl. its (4,3)+shape broadcast quirk
+    (lib/libprop.py:224-250)."""
+    _driver_setup(shim)
+    _driver_setup(reference_libprop)
+    for mod in (shim, reference_libprop):
+        mod.set_model_setup(u0=50.0, phi0=np.deg2rad(-60),
+                            sig_phi=np.deg2rad(3), rr0=30000, sig_rr=10000)
+    rng = np.random.default_rng(5)
+    lam = rng.uniform(-1, 1, 25)
+    phi = rng.uniform(-1.2, -0.9, 25)
+    rr = rng.uniform(0, 80e3, 25)
+    ours = shim.velocities_tanh(lam, phi, rr)
+    ref = reference_libprop.velocities_tanh(lam, phi, rr)
+    assert ours.shape == ref.shape == (4, 3, 25)
+    np.testing.assert_allclose(ours, ref, rtol=1e-12, atol=1e-15)

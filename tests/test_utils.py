@@ -1,0 +1,52 @@
+"""Utility coverage: metrics logger, plotting smoke, profiling timer."""
+
+import json
+import logging
+
+import numpy as np
+
+from msgwam_tpu.utils.metrics import MetricsLogger
+from msgwam_tpu.utils.profiling import StepTimer
+
+
+def test_metrics_logger_cadence_and_jsonl(tmp_path, caplog):
+    path = tmp_path / "metrics.jsonl"
+    logger = MetricsLogger(100, every=25, jsonl_path=str(path))
+    with caplog.at_level(logging.INFO, logger="msgwam_tpu"):
+        for step in range(1, 101):
+            logger.record(step, max_u=1.5 * step)
+    logger.close()
+    lines = [json.loads(l) for l in path.read_text().splitlines()]
+    assert [l["step"] for l in lines] == [25, 50, 75, 100]
+    assert lines[-1]["progress"] == 1.0
+    assert lines[0]["max_u"] == 1.5 * 25
+    assert all("steps_per_sec" in l for l in lines)
+
+
+def test_step_timer():
+    t = StepTimer()
+    for _ in range(3):
+        t.start()
+        t.stop()
+    assert len(t.times) == 3
+    assert t.best <= t.mean
+
+
+def test_plotting_smoke(tmp_path):
+    import matplotlib
+    matplotlib.use("Agg")
+    from msgwam_tpu.plotting import plot_wave_action_panels, plot_wind_evolution
+
+    t = np.linspace(0, 86400, 20)
+    z = np.linspace(500, 99500, 100)
+    wa = np.random.rand(20, 100)
+    tend = np.random.randn(20, 100) * 1e-3
+    fig, ax = plot_wave_action_panels(
+        t, z, wa, tend, show=False, save_path=tmp_path / "p.png"
+    )
+    assert (tmp_path / "p.png").exists()
+    fig2, ax2 = plot_wind_evolution(
+        t, z, np.random.randn(20, 100), show=False,
+        save_path=tmp_path / "w.png",
+    )
+    assert (tmp_path / "w.png").exists()
