@@ -51,7 +51,7 @@ FAST_PRESET = {
     "run": {"dt": 120.0, "n_steps": 720, "save_every": 10},
     "source": {"kind": "gaussian_spectrum", "n_ray": 100000,
                "z_launch": 2000.0, "dz_launch": 500.0,
-               "amplitude_alpha": 0.003},
+               "amplitude_alpha": 0.001},
     "background": "sine",
     "dtype": "float32",
 }
