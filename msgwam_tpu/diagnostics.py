@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from .config import ModelConfig
 from .state import Background
 from .ops.dispersion import cg_r
-from .ops.projection import project
+from .ops.projection import project_backend
 
 
 class WaveActionDiagnostics(NamedTuple):
@@ -26,12 +26,12 @@ class WaveActionDiagnostics(NamedTuple):
 
 
 def _project_frame(dens, phi, r, dr, k, l, m, dm, dkk, dll, active,
-                   grid, bvf, max_span, with_flux: bool):
+                   grid, bvf, max_span, with_flux: bool, backend: str = "xla"):
     phase_vol = jnp.abs(dkk * dll * dm)
     vals = dens
     if with_flux:
         vals = cg_r(k, l, m, phi, bvf) * dens
-    return project(
+    return project_backend(backend)(
         vals, r - 0.5 * dr, r + 0.5 * dr, phase_vol, active, grid, max_span
     )[0]
 
@@ -58,11 +58,13 @@ def wave_action_history(
             rays.dens, rays.phi, rays.r, rays.dr, rays.k, rays.l,
             rays.m, rays.dm, statics.dkk, statics.dll, active,
             bg.faces, cfg.bvf, cfg.max_span, with_flux=False,
+            backend=cfg.projection_backend,
         )
         fl = _project_frame(
             rays.dens, rays.phi, rays.r, rays.dr, rays.k, rays.l,
             rays.m, rays.dm, statics.dkk, statics.dll, active,
             bg.centers, cfg.bvf, cfg.max_span, with_flux=True,
+            backend=cfg.projection_backend,
         )
         return wa, fl
 
@@ -80,7 +82,7 @@ def pseudo_momentum_flux(rays, statics, bg: Background, cfg: ModelConfig):
     phase_vol = jnp.abs(statics.dkk * statics.dll * rays.dm)
     cgr = cg_r(rays.k, rays.l, rays.m, rays.phi, cfg.bvf)
     vals = jnp.stack([cgr * rays.k * rays.dens, cgr * rays.l * rays.dens])
-    return project(
+    return project_backend(cfg.projection_backend)(
         vals, rays.r - 0.5 * rays.dr, rays.r + 0.5 * rays.dr,
         phase_vol, statics.active, bg.centers, cfg.max_span,
     )
