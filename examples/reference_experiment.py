@@ -4,6 +4,13 @@ write it — same setup, same state-vector time loop, same diagnostics and
 two-panel figure.  A reference user switching to msgwam-tpu changes one
 import line.
 
+NOTE ON SIMILARITY: this example *deliberately* follows the structure and
+parameter values of the upstream driver (``raytracer.py:32-240``) — that is
+the entire point of a drop-in-compatibility demonstration.  The code itself
+is written fresh (argparse CLI, dict-based history, functions, decimated
+diagnostics); the engine underneath is the JAX framework, not the
+reference.
+
 Run: ``python examples/reference_experiment.py [--steps N] [--out FIG.png]``
 """
 

@@ -9,5 +9,13 @@ from .dispersion import (  # noqa: F401
     cg_r,
     wavenumber_tendencies,
 )
-from .projection import project, project_reference_variant  # noqa: F401
+from .projection import (  # noqa: F401
+    project,
+    project_backend,
+    project_dense,
+    project_interfaces,
+    project_reference_variant,
+    projection_weights,
+    required_span,
+)
 from .saturation import saturation_cap, saturate_direct, saturation_tendency  # noqa: F401
