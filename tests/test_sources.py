@@ -84,3 +84,24 @@ def test_stochastic_source_draws():
     assert not np.allclose(np.asarray(s1[0].m), np.asarray(s2[0].m))
     assert np.all(np.asarray(s1[0].m) < 0)
     assert np.all(np.isfinite(np.asarray(s1[0].dens)))
+
+
+def test_relaunch_every_interval():
+    """The relaunch_every > 1 path (lax.cond) matches every-step relaunch
+    in steady state and runs finite."""
+    cfg, gc, bg, state, statics = _setup()
+    cfg = cfg.replace(relaunch=True, m_max=2 * np.pi / 2000.0)
+    centers = gc.centers()
+    uu = 40.0 * np.tanh((centers - 30e3) / 1e4)
+    bg = mt.make_background(gc, cfg, uu, np.zeros_like(uu))
+    source = mt.gaussian_spectrum_source(cfg, bg, 16)
+    state = mt.State(state.rays, mt.MeanState(jnp.asarray(uu), jnp.zeros(100)))
+    run = mt.RunConfig(dt=120.0, n_steps=60, save_every=60)
+    sf, stf, _ = jax.jit(
+        lambda s, st: mt.simulate(s, st, bg, cfg, run, source=source,
+                                  relaunch_every=10)
+    )(state, statics)
+    assert np.all(np.isfinite(np.asarray(sf.rays.dens)))
+    # slots refill at most 10 steps after culling; at the end of a
+    # 60-step run (a relaunch multiple) everything is active again
+    assert np.all(np.asarray(stf.active))
