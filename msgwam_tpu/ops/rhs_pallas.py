@@ -60,10 +60,14 @@ def _kernel(
     dens_ref, r_ref, dr_ref, k_ref, l_ref, m_ref, dm_ref, phi_ref,
     dkk_ref, dll_ref, area_ref, act_ref,
     dens_st_ref, drr_st_ref, dmm_st_ref, flux_ref,
-    acc_ref,
+    acc_ref, u_s, v_s, du_s, dv_s, rho_s,
     *, n_tab: int, n_flux_cells: int, c_pad: int,
     saturate_online: bool, faithful: bool,
 ):
+    # v2 layout: all elementwise physics runs on the native (SUBLANES, LANE)
+    # tile (zero lane-padding waste); only the basis/weight matrices are
+    # built per sublane row, feeding thin MXU contractions, with the interp
+    # results scattered into (SUBLANES, LANE) VMEM scratch tiles.
     i = pl.program_id(0)
     n_prog = pl.num_programs(0)
     g0c = params_ref[_G0C]
@@ -78,108 +82,117 @@ def _kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (LANE, c_pad), 1)
-    colsf = cols_i.astype(jnp.float32)
-    # flux deposit grid = cell centers: faces of the staggered cells
-    gflo = g0c + colsf * dz
-    gfhi = g0c + (colsf + 1.0) * dz
-    nzmax = n_flux_cells - 1          # len(proj grid) - 2
-
+    # --- pass 1: winds + shear at ray heights (per-row basis matmuls) ----
     for j in range(SUBLANES):
-        col = lambda ref: ref[j, :][:, None]               # (LANE, 1)
-        dens = col(dens_ref)
-        r = col(r_ref)
-        dr = col(dr_ref)
-        k = col(k_ref)
-        l = col(l_ref)
-        m = col(m_ref)
-        dm = col(dm_ref)
-        phi = col(phi_ref)
-        dkk = col(dkk_ref)
-        dll = col(dll_ref)
-        area = col(area_ref)
-        act = col(act_ref)
-
-        # --- winds + shear at ray heights (two thin MXU matmuls) ---------
-        Bc = _hat(r, g0c, dz, n_tab, c_pad)
+        rj = r_ref[j, :][:, None]                          # (LANE, 1)
+        Bc = _hat(rj, g0c, dz, n_tab, c_pad)
         uv = jax.lax.dot_general(
             Bc, tables_ref[:, 0:2],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                  # (LANE, 2)
-        Bf = _hat(r, g0f, dz, n_tab - 1, c_pad)
+        Bf = _hat(rj, g0f, dz, n_tab - 1, c_pad)
         sh = jax.lax.dot_general(
             Bf, tables_ref[:, 2:4],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        du_dr = sh[:, 0:1]
-        dv_dr = sh[:, 1:2]
+        u_s[j, :] = uv[:, 0]
+        v_s[j, :] = uv[:, 1]
+        du_s[j, :] = sh[:, 0]
+        dv_s[j, :] = sh[:, 1]
 
-        # --- dispersion + group velocity (lib/libprop.py:369-448) --------
-        ff = 2.0 * ROT_EARTH * jnp.sin(phi)
-        kh2 = k * k + l * l
-        k2 = kh2 + m * m
-        om = jnp.sqrt((bvf * bvf * kh2 + ff * ff * m * m) / k2)
-        cgr = -m * (om * om - ff * ff) / om / k2
+    # --- tile-wise physics (all (SUBLANES, LANE)) -------------------------
+    dens = dens_ref[:]
+    r = r_ref[:]
+    dr = dr_ref[:]
+    k = k_ref[:]
+    l = l_ref[:]
+    m = m_ref[:]
+    dm = dm_ref[:]
+    phi = phi_ref[:]
+    dkk = dkk_ref[:]
+    dll = dll_ref[:]
+    area = area_ref[:]
+    act = act_ref[:]
 
-        # --- refraction, hprop off (lib/libprop.py:519-520) --------------
-        dmm_st = -(k * du_dr + l * dv_dr)
+    ff = 2.0 * ROT_EARTH * jnp.sin(phi)
+    kh2 = k * k + l * l
+    k2 = kh2 + m * m
+    om = jnp.sqrt((bvf * bvf * kh2 + ff * ff * m * m) / k2)
+    cgr = -m * (om * om - ff * ff) / om / k2
+    dmm_st = -(k * du_s[:] + l * dv_s[:])                  # lib/libprop.py:519-520
 
-        # --- online saturation (lib/libprop.py:561-615) ------------------
-        if saturate_online:
-            r_fin = r + cgr * dt
-            m_fin = m + dmm_st * dt
-            dmm_fin = area / dr                            # dr tendency = 0
-            Bs = _hat(r_fin, g0c, dz, n_tab, c_pad)
-            rho_fin = jax.lax.dot_general(
+    # --- online saturation (lib/libprop.py:561-615) -----------------------
+    if saturate_online:
+        r_fin = r + cgr * dt
+        for j in range(SUBLANES):
+            Bs = _hat(r_fin[j, :][:, None], g0c, dz, n_tab, c_pad)
+            rho = jax.lax.dot_general(
                 Bs, tables_ref[:, 4:5],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m * m) / k2)
-            cap = (
-                kappa * kappa * 0.5 * rho_fin * omh * bvf * bvf
-                / (m_fin * m_fin) / (omh * omh - f0 * f0)
-            )
-            pvol = dkk * dll * dmm_fin
-            cap_applied = cap if faithful else cap / pvol
-            exceed = cap < dens * pvol
-            dens_st = jnp.where(exceed, (cap_applied - dens) / dt, 0.0)
-        else:
-            dens_st = jnp.zeros_like(dens)
-
-        # --- pseudo-momentum flux deposit (lib/libprop.py:92-163) --------
-        r_lo = r - 0.5 * dr
-        r_up = r + 0.5 * dr
-        nlow = (r_lo / dz).astype(jnp.int32)
-        nup = (r_up / dz + 1.0).astype(jnp.int32)
-        ood = ((nlow >= nzmax) & (nup >= nzmax)) | ((nlow <= 0) & (nup <= 0))
-        nlow = jnp.clip(nlow, 0, nzmax)
-        nup = jnp.clip(nup, 0, nzmax)
-        live = (act > 0) & ~ood
-        in_span = (
-            (cols_i >= nlow) & (cols_i < nup) & (cols_i < n_flux_cells) & live
+            rho_s[j, :] = rho[:, 0]
+        m_fin = m + dmm_st * dt
+        dmm_fin = area / dr                                # dr tendency = 0
+        omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m * m) / k2)
+        cap = (
+            kappa * kappa * 0.5 * rho_s[:] * omh * bvf * bvf
+            / (m_fin * m_fin) / (omh * omh - f0 * f0)
         )
-        pv = jnp.abs(dkk * dll * dm)
+        pvol = dkk * dll * dmm_fin
+        cap_applied = cap if faithful else cap / pvol
+        exceed = cap < dens * pvol
+        dens_st = jnp.where(exceed, (cap_applied - dens) / dt, 0.0)
+    else:
+        dens_st = jnp.zeros_like(dens)
+
+    # --- masked tendency writes (tile-wise) -------------------------------
+    amask = act > 0
+    dens_st_ref[:] = jnp.where(amask, dens_st, 0.0)
+    drr_st_ref[:] = jnp.where(amask, cgr, 0.0)
+    dmm_st_ref[:] = jnp.where(amask, dmm_st, 0.0)
+
+    # --- pass 3: pseudo-momentum flux deposit (per-row weight matmuls) ----
+    r_lo = r - 0.5 * dr
+    r_up = r + 0.5 * dr
+    nzmax = n_flux_cells - 1                               # len(proj grid) - 2
+    nlow_t = (r_lo / dz).astype(jnp.int32)                 # trunc toward zero
+    nup_t = (r_up / dz + 1.0).astype(jnp.int32)
+    ood = ((nlow_t >= nzmax) & (nup_t >= nzmax)) | ((nlow_t <= 0) & (nup_t <= 0))
+    live_t = (act > 0) & ~ood
+    pv = jnp.abs(dkk * dll * dm)
+    fv = cgr * dens
+    fvk = jnp.where(live_t, fv * k * pv, 0.0)
+    fvl = jnp.where(live_t, fv * l * pv, 0.0)
+    nlow_t = jnp.clip(nlow_t, 0, nzmax)
+    nup_t = jnp.clip(nup_t, 0, nzmax)
+
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (LANE, c_pad), 1)
+    colsf = cols_i.astype(jnp.float32)
+    gflo = g0c + colsf * dz
+    gfhi = g0c + (colsf + 1.0) * dz
+    for j in range(SUBLANES):
+        rl = r_lo[j, :][:, None]
+        ru = r_up[j, :][:, None]
+        in_span = (
+            (cols_i >= nlow_t[j, :][:, None]) & (cols_i < nup_t[j, :][:, None])
+            & (cols_i < n_flux_cells)
+        )
         w = jnp.where(
             in_span,
-            jnp.abs(jnp.minimum(gfhi, r_up) - jnp.maximum(gflo, r_lo)) / dz,
+            jnp.abs(jnp.minimum(gfhi, ru) - jnp.maximum(gflo, rl)) / dz,
             0.0,
-        ) * pv
-        fv = cgr * dens
-        vrow = jnp.concatenate([fv * k, fv * l], axis=1)   # (LANE, 2)
+        )                                                  # (LANE, c_pad)
+        vrow = jnp.concatenate(
+            [fvk[j, :][:, None], fvl[j, :][:, None]], axis=1
+        )                                                  # (LANE, 2)
         acc_ref[:] += jax.lax.dot_general(
             w, vrow,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                  # (c_pad, 2)
-
-        # --- masked tendency writes --------------------------------------
-        amask = act > 0
-        dens_st_ref[j, :] = jnp.where(amask, dens_st, 0.0)[:, 0]
-        drr_st_ref[j, :] = jnp.where(amask, cgr, 0.0)[:, 0]
-        dmm_st_ref[j, :] = jnp.where(amask, dmm_st, 0.0)[:, 0]
+        )
 
     @pl.when(i == n_prog - 1)
     def _():
@@ -224,7 +237,14 @@ def _rhs_fused_call(
             jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32),
             jax.ShapeDtypeStruct((c_pad, 2), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((c_pad, 2), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((c_pad, 2), jnp.float32),
+            pltpu.VMEM((SUBLANES, LANE), jnp.float32),
+            pltpu.VMEM((SUBLANES, LANE), jnp.float32),
+            pltpu.VMEM((SUBLANES, LANE), jnp.float32),
+            pltpu.VMEM((SUBLANES, LANE), jnp.float32),
+            pltpu.VMEM((SUBLANES, LANE), jnp.float32),
+        ],
         interpret=interpret,
     )(params, tables, dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act)
     return outs
