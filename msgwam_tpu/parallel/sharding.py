@@ -54,6 +54,13 @@ def ray_sharding_specs(axis: str = RAY_AXIS):
 
 def shard_state(mesh: Mesh, state: State, statics: RayStatics, axis: str = RAY_AXIS):
     """Place (state, statics) on the mesh with ray-axis sharding."""
+    n = state.rays.dens.shape[0]
+    n_dev = mesh.devices.size
+    if n % n_dev:
+        raise ValueError(
+            f"ray capacity {n} is not divisible by the mesh size {n_dev}; "
+            f"pad with msgwam_tpu.pad_rays to a multiple first"
+        )
     state_spec, statics_spec = ray_sharding_specs(axis)
     put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
     state = jax.tree.map(put, state, state_spec)
