@@ -32,7 +32,7 @@ DT = 120.0
 BASELINE_RAY_STEPS_PER_SEC = 3.0e4
 
 
-def main():
+def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):
     cfg = mt.REFERENCE_RUN_CONFIG.replace(
         saturate_online=True,
         dtype="float32",
@@ -47,13 +47,13 @@ def main():
     vv = np.zeros_like(uu)
     bg = mt.make_background(gc, cfg, uu, vv, dtype=jnp.float32)
     rays, statics = mt.gaussian_spectrum_source(
-        cfg, bg, N_RAY,
+        cfg, bg, n_ray,
         z_launch=2000.0, dz_launch=500.0,
         amplitude_alpha=0.003,  # keep total forcing physical at 1e5 rays
         dtype=jnp.float32,
     )
     state = mt.State(rays, mt.MeanState(jnp.asarray(uu), jnp.asarray(vv)))
-    run = mt.RunConfig(dt=DT, n_steps=N_STEPS, save_every=N_STEPS)
+    run = mt.RunConfig(dt=DT, n_steps=n_steps, save_every=n_steps)
 
     step_fn = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))
     out = step_fn(state, statics)  # compile + warm-up
@@ -70,7 +70,7 @@ def main():
     assert bool(jnp.all(jnp.isfinite(final_state.mean.u))), "wind blew up"
     assert bool(jnp.all(jnp.isfinite(final_state.rays.dens))), "dens blew up"
 
-    ray_steps_per_sec = N_RAY * N_STEPS / best
+    ray_steps_per_sec = n_ray * n_steps / best
     print(json.dumps({
         "metric": "ray-volume steps/sec/chip at 1e5 rays (coupled, online saturation, f32)",
         "value": round(ray_steps_per_sec, 1),

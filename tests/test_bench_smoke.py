@@ -1,0 +1,46 @@
+"""bench.py and __graft_entry__ stay importable and runnable (tiny sizes,
+CPU) — guards the driver-facing entry points in CI."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_main_tiny(capsys):
+    sys.path.insert(0, REPO)
+    import bench
+
+    bench.main(n_ray=512, n_steps=5)
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    payload = json.loads(line)
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["value"] > 0
+
+
+def test_graft_entry_single_chip():
+    import jax
+
+    sys.path.insert(0, REPO)
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    state, statics = out
+    assert state.rays.dens.shape == args[0].rays.dens.shape
+
+
+def test_graft_dryrun_subprocess():
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multichip OK" in r.stdout
