@@ -23,14 +23,20 @@ from __future__ import annotations
 
 import functools
 
+import os
+
 import numpy as np
 import jax
 
 # The reference is float64 NumPy end to end; this compatibility layer
-# enables x64 so drop-in users get the reference's precision.  (New code
-# using the functional API chooses its own dtype and is unaffected unless it
-# imports this module.)
-jax.config.update("jax_enable_x64", True)
+# enables x64 at import so drop-in users get the reference's precision.
+# NOTE this is a process-global side effect on JAX dtype semantics —
+# anything else running JAX in the same process will also see x64.  Set
+# MSGWAM_TPU_SHIM_X64=0 to opt out (e.g. when embedding the shim in an f32
+# application); parity with the reference then requires enabling x64
+# yourself before any computation.
+if os.environ.get("MSGWAM_TPU_SHIM_X64", "1") != "0":
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 

@@ -74,9 +74,12 @@ def _load_config(args) -> dict:
         spec = json.loads(json.dumps(PRESETS[args.preset]))  # deep copy
     if args.steps:
         spec["run"]["n_steps"] = args.steps
-        spec["run"]["save_every"] = min(
-            spec["run"].get("save_every", 1), args.steps
-        )
+        # keep save_every a divisor of the overridden n_steps (simulate
+        # requires divisibility): largest divisor <= the preset's cadence
+        cap = min(spec["run"].get("save_every", 1), args.steps)
+        while args.steps % cap:
+            cap -= 1
+        spec["run"]["save_every"] = cap
     return spec
 
 
@@ -132,15 +135,30 @@ def run_experiment(
     state = State(rays, MeanState(uu, vv))
     source = (rays, statics) if cfg.relaunch else None
 
+    # d(dr)/dt is structurally zero in this model, so the widest ray volume
+    # is known at run start: auto-raise max_span so the xla (segment-sum)
+    # projection never truncates a deposit (ADVICE round 1).
+    if cfg.projection_backend == "xla":
+        from .ops.projection import required_span
+
+        need = required_span(float(jnp.max(rays.dr)), gc.dz)
+        if need > cfg.max_span:
+            print(f"raising max_span {cfg.max_span} -> {need} "
+                  f"(widest ray volume spans {need} cells)")
+            cfg = cfg.replace(max_span=need)
+
     step0 = 0
     if resume_from:
         from .utils.checkpoint import load_checkpoint
 
         state, statics, step0, _, _ = load_checkpoint(resume_from)
         print(f"resumed from {resume_from} at step {step0}")
+    # resumed runs continue physical time where the checkpoint stopped:
+    # transient wind_fn backgrounds and the output time axis both use t0
+    t0 = step0 * run.dt
 
     sim = jax.jit(
-        lambda s, st, r: simulate(s, st, bg, cfg, r, source=source),
+        lambda s, st, r: simulate(s, st, bg, cfg, r, source=source, t0=t0),
         static_argnums=(2,),
     )
     if log_every:
@@ -196,14 +214,16 @@ def run_experiment(
         tendency=np.asarray(diag.tendency),
         u=np.asarray(hist_state.mean.u),
         v=np.asarray(hist_state.mean.v),
-        time=np.arange(1, run.n_steps // run.save_every + 1) * run.dt * run.save_every,
+        time=t0 + np.arange(1, run.n_steps // run.save_every + 1)
+             * run.dt * run.save_every,
     )
     fig_path = None
     if make_plot:
         from .plotting import plot_wave_action_panels
 
         fig_path = os.path.join(out_dir, "wave_action.png")
-        t = np.arange(1, run.n_steps // run.save_every + 1) * run.dt * run.save_every
+        t = t0 + np.arange(1, run.n_steps // run.save_every + 1) \
+            * run.dt * run.save_every
         plot_wave_action_panels(
             t, np.asarray(bg.faces[:-1] + 0.5 * (bg.faces[1] - bg.faces[0])),
             np.asarray(diag.wave_action), np.asarray(diag.tendency),

@@ -69,6 +69,12 @@ class ModelConfig:
     # Reproduce reference quirk 2 (raytracer.py:184): the offline-saturation
     # height rate is divided by 1 instead of dt.  True = bit-faithful.
     faithful_offline_rates: bool = True
+    # Reproduce reference quirk 3 (raytracer.py:221): the last wave-action
+    # diagnostic frame reads rr_up from timestep nproj[0]=0 instead of
+    # nproj[1]-1 (an index typo).  Only affects
+    # diagnostics.reference_window_diagnostics.  True = frame-for-frame
+    # faithful; False = corrected indexing.
+    faithful_diag_index: bool = True
     # Max number of grid cells a single ray volume may overlap in the
     # projection scatter (static for XLA).  The reference's Python loop has
     # no such bound; any ray with (nup - nlow) > max_span would be silently

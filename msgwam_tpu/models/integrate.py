@@ -21,9 +21,60 @@ import jax.numpy as jnp
 
 from ..config import ModelConfig, RunConfig
 from ..state import Background, RayStatics, State, tree_axpy
+from ..ops.projection import required_span
 from ..ops.saturation import saturate_direct
 from .rhs import rhs as rhs_default
 from . import sources as _sources
+
+
+def _is_concrete(x) -> bool:
+    return not isinstance(x, jax.core.Tracer)
+
+
+def validate_inputs(state: State, statics: RayStatics, bg: Background,
+                    cfg: ModelConfig) -> None:
+    """Host-side sanity checks run once per ``simulate`` trace.
+
+    * **dtype discipline**: the state/background float dtype must match
+      ``cfg.dtype`` — an f32 state under a ``dtype="float64"`` config (or
+      vice versa) previously ran silently with mixed semantics.
+    * **projection span**: ``d(dr)/dt`` is structurally zero in this model
+      (``cg_r`` is height-independent), so the widest ray volume is known at
+      run start; the xla (segment-sum) backend silently truncates any ray
+      overlapping more than ``cfg.max_span`` cells, which loses flux deposit
+      (ADVICE round 1).  Raises when the configured source needs more span.
+      Only checked when values are concrete (skipped for traced args).
+    """
+    import numpy as np
+
+    want = np.dtype(cfg.dtype)
+    for name, arr in (("state.rays.dens", state.rays.dens),
+                      ("state.mean.u", state.mean.u),
+                      ("background.rhobar", bg.rhobar)):
+        got = jnp.asarray(arr).dtype
+        if got != want:
+            raise TypeError(
+                f"{name} has dtype {got} but cfg.dtype={cfg.dtype!r}; "
+                f"build the state/background with the configured dtype or "
+                f"set cfg.replace(dtype={str(got)!r})"
+            )
+
+    if cfg.projection_backend == "xla" and _is_concrete(state.rays.dr) \
+            and _is_concrete(bg.faces) and _is_concrete(statics.active):
+        act = np.asarray(statics.active)
+        if act.any():
+            dz = float(bg.faces[1] - bg.faces[0])
+            dr_max = float(np.max(np.asarray(state.rays.dr)[act]))
+            need = required_span(dr_max, dz)
+            if need > cfg.max_span:
+                raise ValueError(
+                    f"cfg.max_span={cfg.max_span} but the widest active ray "
+                    f"volume (dr={dr_max:g} m, dz={dz:g} m) spans {need} "
+                    f"cells; the xla projection backend would silently drop "
+                    f"part of its flux deposit.  Raise cfg.max_span to "
+                    f">= {need} (or use the dense 'mxu' backend, which has "
+                    f"no span bound)."
+                )
 
 
 def williamson_rk3(f: Callable, y, dt):
@@ -163,6 +214,9 @@ def simulate(
     rhs: Callable = rhs_default,
     wind_fn: Optional[Callable] = None,
     t0: float = 0.0,
+    include_t0: bool = False,
+    source_key: Optional[jax.Array] = None,
+    validate: bool = True,
 ):
     """Run ``run.n_steps`` steps as one ``lax.scan``, recording an
     observation every ``run.save_every`` steps.
@@ -172,9 +226,17 @@ def simulate(
     equivalent to the reference's full in-RAM history,
     ``raytracer.py:124-150``; pass a slimmer observable for big runs).
 
-    ``source`` (a ``(RayState, RayStatics)`` template from
-    :mod:`msgwam_tpu.models.sources`) enables relaunch of culled slots every
-    ``relaunch_every`` steps.
+    ``source`` enables relaunch of culled slots every ``relaunch_every``
+    steps.  It is either a fixed ``(RayState, RayStatics)`` template from
+    :mod:`msgwam_tpu.models.sources`, or a callable ``source(key) ->
+    (RayState, RayStatics)`` drawing a *fresh stochastic template per
+    relaunch* (pass ``source_key``; time-varying launch spectra, BASELINE
+    config 4).
+
+    ``include_t0`` prepends the initial state as history frame 0, exactly
+    like the reference's history buffers (``raytracer.py:139-150`` stores
+    the initial condition before the loop); every history leaf then has
+    leading axis ``n_steps // save_every + 1``.
 
     ``wind_fn(t) -> (u, v)`` prescribes a transient imposed background
     (e.g. :func:`msgwam_tpu.models.backgrounds.tidal_shear`): the mean wind
@@ -189,10 +251,18 @@ def simulate(
         observe = lambda s, st, aux: (s, st.active, aux.dens_prop)
     if run.n_steps % run.save_every != 0:
         raise ValueError("n_steps must be divisible by save_every")
+    if validate:
+        validate_inputs(state, statics, bg, cfg)
     n_outer = run.n_steps // run.save_every
 
+    keyed_source = callable(source)
+    if keyed_source and source_key is None:
+        raise ValueError("a callable source requires source_key")
+    if source_key is None:
+        source_key = jnp.zeros((2,), dtype=jnp.uint32)  # unused placeholder
+
     def inner(carry, i):
-        st, stat = carry
+        st, stat, key = carry
         if wind_fn is not None:
             t = t0 + i.astype(bg.centers.dtype) * run.dt
             u, v = wind_fn(t)
@@ -204,23 +274,40 @@ def simulate(
             )
         st, stat, aux = step(run.dt, st, stat, bg, cfg, axis_name, rhs)
         if cfg.relaunch and source is not None:
+            if keyed_source:
+                key, sub = jax.random.split(key)
+                template = source(sub)
+            else:
+                template = source
+
             if relaunch_every > 1:
                 st, stat = jax.lax.cond(
                     (i % relaunch_every) == 0,
-                    lambda: _sources.relaunch(st, stat, source),
+                    lambda: _sources.relaunch(st, stat, template),
                     lambda: (st, stat),
                 )
             else:
-                st, stat = _sources.relaunch(st, stat, source)
-        return (st, stat), aux
+                st, stat = _sources.relaunch(st, stat, template)
+        return (st, stat, key), aux
 
     def outer(carry, block):
-        (st, stat), aux = jax.lax.scan(inner, carry, block)
+        (st, stat, key), aux = jax.lax.scan(inner, carry, block)
         aux_last = jax.tree.map(lambda x: x[-1], aux)
-        return (st, stat), observe(st, stat, aux_last)
+        return (st, stat, key), observe(st, stat, aux_last)
+
+    obs0 = None
+    if include_t0:
+        # history frame 0 = the initial condition (raytracer.py:139-150);
+        # dens_prop at t=0 is the initial density itself (raytracer.py:126)
+        obs0 = observe(state, statics, StepAux(dens_prop=state.rays.dens))
 
     steps = jnp.arange(run.n_steps).reshape(n_outer, run.save_every)
-    (state, statics), history = jax.lax.scan(
-        outer, (state, statics), steps
+    (state, statics, _), history = jax.lax.scan(
+        outer, (state, statics, source_key), steps
     )
+    if include_t0:
+        history = jax.tree.map(
+            lambda h0, h: jnp.concatenate([h0[None].astype(h.dtype), h]),
+            obs0, history,
+        )
     return state, statics, history

@@ -110,16 +110,21 @@ def gaussian_spectrum_source(
             dtype=dtype,
         )
         amp_jitter = 1.0
-        z_off = jnp.zeros((n_ray,), dtype=dtype)
+        z_off = 0.0
     else:
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         mm = m_center + m_sigma * jax.random.truncated_normal(
             k1, -m_halfwidth, m_halfwidth, (n_ray,), dtype
         )
         amp_jitter = jnp.exp(
             0.3 * jax.random.normal(k2, (n_ray,), dtype)
         )
-        z_off = jnp.zeros((n_ray,), dtype=dtype)
+        # randomized launch heights: uniform within half a launch-layer
+        # thickness, so stochastic ensembles (and keyed per-relaunch
+        # sources) inject decorrelated, non-overlapping-in-z ray volumes
+        z_off = dz_launch * (
+            jax.random.uniform(k3, (n_ray,), dtype) - 0.5
+        )
     # keep m strictly negative (upward group propagation)
     mm = jnp.minimum(mm, -k_abs)
 

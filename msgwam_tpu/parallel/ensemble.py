@@ -107,14 +107,22 @@ def build_ensemble_fn(
     # local members; no cross-member communication exists, so in/out specs
     # are all P(axis) and the background is replicated.  The output spec
     # depends on shapes, so the jitted shard_map is built lazily per input
-    # shape (memoized) — and the eval_shape runs on plain ShapeDtypeStructs
-    # so sharded avals never reach the vmap trace.
-    compiled = {}
+    # shape (memoized; bounded LRU so parameter sweeps over many shapes
+    # don't accumulate compiled programs) — and the eval_shape runs on plain
+    # ShapeDtypeStructs so sharded avals never reach the vmap trace.
+    from collections import OrderedDict
+
+    compiled = OrderedDict()
+    max_cached_shapes = 8
 
     def runner(states, statics, bg):
         leaves = jax.tree.leaves((states, statics, bg))
         key = tuple((l.shape, str(l.dtype)) for l in leaves)
-        if key not in compiled:
+        if key in compiled:
+            compiled.move_to_end(key)
+        else:
+            if len(compiled) >= max_cached_shapes:
+                compiled.popitem(last=False)
             shapes = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                 (states, statics, bg),

@@ -23,6 +23,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
+# NaN sanitizer in test mode (SURVEY §5): any computation returning NaN
+# fails loudly.  Tests that inject NaNs on purpose (defensive culling)
+# opt out locally with `with jax.debug_nans(False): ...`.
+jax.config.update("jax_debug_nans", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

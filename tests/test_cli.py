@@ -56,3 +56,21 @@ def test_run_json_config(tmp_path):
               "--no-plot", "--log-every", "5"])
     assert r.returncode == 0, r.stderr[-2000:]
     assert (out / "diagnostics.npz").exists()
+
+
+def test_steps_override_keeps_save_every_divisible():
+    """--steps N picks the largest divisor of N <= the preset cadence
+    (ADVICE r1: `--preset fast --steps 15` used to abort)."""
+    import argparse
+    from msgwam_tpu.cli import _load_config
+
+    ns = argparse.Namespace(config=None, preset="fast", steps=15)
+    spec = _load_config(ns)  # fast preset has save_every=10
+    assert spec["run"]["n_steps"] == 15
+    assert spec["run"]["save_every"] == 5
+    ns = argparse.Namespace(config=None, preset="fast", steps=7)
+    spec = _load_config(ns)
+    assert spec["run"]["save_every"] == 7
+    ns = argparse.Namespace(config=None, preset="reference", steps=13)
+    spec = _load_config(ns)
+    assert spec["run"]["save_every"] == 1

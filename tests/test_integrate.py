@@ -122,3 +122,51 @@ def test_frozen_inactive_rays():
     sf1, _, _ = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))(state, statics)
     np.testing.assert_array_equal(np.asarray(sf2.rays.dens[:60]), np.asarray(sf1.rays.dens))
     np.testing.assert_array_equal(np.asarray(sf2.mean.u), np.asarray(sf1.mean.u))
+
+
+def test_max_span_guard_raises():
+    """simulate refuses an xla-backend run whose ray volumes are wider than
+    the configured projection span (silent flux truncation, ADVICE r1)."""
+    import pytest
+
+    cfg = mt.REFERENCE_RUN_CONFIG  # max_span=4, xla backend
+    gc = mt.GridConfig()           # dz = 1000 m
+    uu = np.zeros(gc.n_cell)
+    bg = mt.make_background(gc, cfg, uu, uu)
+    rays, statics = mt.wave_packet_ic(gc, cfg, bg, n_ray=8)
+    rays = rays._replace(dr=jnp.full_like(rays.dr, 8000.0))  # spans 9 cells
+    state = mt.State(rays, mt.MeanState(jnp.asarray(uu), jnp.asarray(uu)))
+    run = mt.RunConfig(dt=120.0, n_steps=2, save_every=2)
+    with pytest.raises(ValueError, match="max_span"):
+        mt.simulate(state, statics, bg, cfg, run)
+    # raising the span (or using the dense backend) clears the guard
+    mt.simulate(state, statics, bg, cfg.replace(max_span=10), run)
+    mt.simulate(state, statics, bg,
+                cfg.replace(projection_backend="mxu"), run)
+
+
+def test_dtype_discipline_raises():
+    """A state whose dtype disagrees with cfg.dtype is rejected instead of
+    running silently with mixed semantics (VERDICT r1 weak #7)."""
+    import pytest
+
+    cfg = mt.REFERENCE_RUN_CONFIG  # dtype="float64"
+    gc = mt.GridConfig()
+    uu = np.zeros(gc.n_cell)
+    bg = mt.make_background(gc, cfg, uu, uu)
+    rays, statics = mt.wave_packet_ic(gc, cfg, bg, n_ray=8)
+    state = mt.State(rays, mt.MeanState(jnp.asarray(uu), jnp.asarray(uu)))
+    state32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x,
+        state,
+    )
+    run = mt.RunConfig(dt=120.0, n_steps=2, save_every=2)
+    with pytest.raises(TypeError, match="dtype"):
+        mt.simulate(state32, statics, bg, cfg, run)
+    # and a consistent f32 setup passes the check
+    bg32 = jax.tree.map(lambda x: x.astype(jnp.float32), bg)
+    statics32 = jax.tree.map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.float64 else x,
+        statics,
+    )
+    mt.simulate(state32, statics32, bg32, cfg.replace(dtype="float32"), run)
