@@ -85,6 +85,12 @@ class ModelConfig:
     # Projection backend: "xla" (segment_sum scatter; parity mode) or
     # "mxu" (dense weight-matrix matmul; TPU fast path).
     projection_backend: str = "xla"
+    # Pseudo-momentum-flux deposit accumulation: "native" sums at the
+    # working dtype; "compensated" (mxu backend) computes 8192-ray block
+    # partials on the MXU and Kahan-combines them at working precision —
+    # deposit error ~1e-7 at 1e6 f32 rays with no x64 dependency; "f64"
+    # combines block partials in float64 (requires jax_enable_x64).
+    flux_accum: str = "native"
     # Interpolation backend: "gather" (np.interp-exact; parity mode) or
     # "mxu" (hat-basis matmul; TPU fast path).
     interp_backend: str = "gather"

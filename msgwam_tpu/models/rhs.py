@@ -140,6 +140,7 @@ def rhs(
         active,
         bg.centers,
         cfg.max_span,
+        accum=cfg.flux_accum,
     )  # (2, n_cell - 1)
     if axis_name is not None:
         pm_interior = jax.lax.psum(pm_interior, axis_name)

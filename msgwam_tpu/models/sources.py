@@ -39,18 +39,28 @@ def wave_packet_ic(
     """The reference driver's initial condition (``raytracer.py:67-117``):
     a vertically stacked wave packet of ``n_ray`` contiguous ray volumes
     with amplitude a fraction ``alpha²`` of the static-instability threshold
-    under a Gaussian envelope."""
+    under a Gaussian envelope.
+
+    Built entirely with host NumPy (not jnp): init runs once, and NumPy's
+    linspace/interp/exp reproduce the reference bit-for-bit, which is what
+    makes the full-run float64 parity test bitwise (device ULP differences
+    here would seed chaotic divergence through the saturation clamps).
+    """
+    import numpy as np
+
+    from ..constants import ROT_EARTH
+
     k_abs = 2.0 * math.pi / wavelength_h
     direction = math.radians(direction_deg)
-    ones = jnp.ones((n_ray,), dtype=dtype)
+    ones = np.ones((n_ray,))
 
     k = ones * k_abs * math.sin(direction)
     l = ones * k_abs * math.cos(direction)
     m = ones * (-2.0 * math.pi / lambda_z)
-    lam = jnp.zeros((n_ray,), dtype=dtype)
+    lam = np.zeros((n_ray,))
     phi = ones * cfg.phi0
 
-    edges = jnp.linspace(rr_min, rr_max, n_ray + 1, dtype=dtype)
+    edges = np.linspace(rr_min, rr_max, n_ray + 1)
     r = 0.5 * (edges[:-1] + edges[1:])
     dr = ones * (edges[1] - edges[0])
     rr_mm_area = 5e-5 * dr                       # raytracer.py:91
@@ -58,21 +68,26 @@ def wave_packet_ic(
     dkk = ones * 1e-4                            # raytracer.py:102-103
     dll = ones * 1e-4
 
-    # wave-action density (raytracer.py:112-117)
-    f0 = coriolis(jnp.asarray(cfg.phi0, dtype))
-    rhobar_ray = grid_interp(r, bg.centers, bg.rhobar)
-    omh = omega(k, l, m, cfg.phi0, cfg.bvf)
+    # wave-action density (raytracer.py:112-117), NumPy mirror of the
+    # reference expressions: f = 2Ω sin φ; ω̂ per lib/libprop.py:369-383
+    f0 = 2.0 * ROT_EARTH * np.sin(cfg.phi0)
+    rhobar_ray = np.interp(r, np.asarray(bg.centers, np.float64),
+                           np.asarray(bg.rhobar, np.float64))
+    omh = np.sqrt(
+        (cfg.bvf**2 * (k**2 + l**2) + f0**2 * m**2) / (k**2 + l**2 + m**2)
+    )
     amplitude = (
         alpha**2 * rhobar_ray / 2.0 * omh / m**2 / (omh**2 - f0**2)
         * cfg.bvf**2
     )
-    profile = jnp.exp(-((r - r.mean()) ** 2) / 2.0 / envelope_sigma**2)
+    profile = np.exp(-((r - r.mean()) ** 2) / 2.0 / envelope_sigma**2)
     dens = amplitude * profile / dkk / dll / dm
 
-    rays = RayState(dens=dens, lam=lam, phi=phi, r=r, dr=dr,
-                    k=k, l=l, m=m, dm=dm)
+    j = lambda x: jnp.asarray(x, dtype=dtype)
+    rays = RayState(dens=j(dens), lam=j(lam), phi=j(phi), r=j(r), dr=j(dr),
+                    k=j(k), l=j(l), m=j(m), dm=j(dm))
     statics = RayStatics(
-        dkk=dkk, dll=dll, rr_mm_area=rr_mm_area,
+        dkk=j(dkk), dll=j(dll), rr_mm_area=j(rr_mm_area),
         active=jnp.ones((n_ray,), dtype=bool),
     )
     return rays, statics

@@ -121,9 +121,17 @@ def _project_pallas(v0, v1, rlow, rup, pv, ok, scalars,
     return out
 
 
-def project_pallas(values, r_low, r_up, phase_vol, valid, grid, max_span=None):
+def project_pallas(values, r_low, r_up, phase_vol, valid, grid, max_span=None,
+                   accum: str = "native"):
     """Drop-in for :func:`msgwam_tpu.ops.projection.project` (float32,
-    nvar <= 2).  ``max_span`` is accepted and ignored."""
+    nvar <= 2).  ``max_span`` is accepted and ignored.  Only native (f32)
+    accumulation is implemented; wide modes need the 'mxu' backend."""
+    if accum != "native":
+        raise ValueError(
+            f"the pallas projection backend only supports accum='native', "
+            f"got {accum!r}; use projection_backend='mxu' for wide "
+            f"accumulation"
+        )
     values = jnp.atleast_2d(values).astype(jnp.float32)
     nvar, n = values.shape
     if nvar > 2:

@@ -111,17 +111,29 @@ def make_background(
     Boussinesq-constant) density on cell centers, and the fixed pressure
     gradient that balances the *initial* winds at latitude ``phi0``.
     """
-    faces = jnp.asarray(grid_cfg.faces(), dtype=dtype)
-    centers = jnp.asarray(grid_cfg.centers(), dtype=dtype)
+    # Host-side NumPy arithmetic throughout: init runs once, and NumPy's
+    # exp/linspace match the reference bit-for-bit, whereas device
+    # transcendentals (XLA exp — or worse, TPU-emulated float64) differ at
+    # the ULP level and seed trajectory divergence through the model's
+    # discontinuous saturation clamps (measured round 2: jnp.exp rhobar
+    # differed on 12/100 cells; with NumPy init a full 1440-step CPU run
+    # is bitwise-reproducible against the reference).
+    faces_np = grid_cfg.faces()
+    centers_np = grid_cfg.centers()
     if cfg.boussinesq:
-        rhobar = cfg.rhobar0 * jnp.ones_like(centers)
+        rhobar_np = cfg.rhobar0 * np.ones_like(centers_np)
     else:
-        rhobar = cfg.rhobar0 * jnp.exp(-centers / cfg.hh)
+        rhobar_np = cfg.rhobar0 * np.exp(-centers_np / cfg.hh)
     ff = 2.0 * ROT_EARTH * np.sin(cfg.phi0)
-    u_init = jnp.asarray(u_init, dtype=dtype)
-    v_init = jnp.asarray(v_init, dtype=dtype)
-    pressure_gradient = jnp.stack([rhobar * ff * v_init, -rhobar * ff * u_init])
-    return Background(faces, centers, rhobar, pressure_gradient)
+    u_np = np.asarray(u_init, dtype=np.float64)
+    v_np = np.asarray(v_init, dtype=np.float64)
+    pressure_gradient = np.stack([rhobar_np * ff * v_np, -rhobar_np * ff * u_np])
+    return Background(
+        jnp.asarray(faces_np, dtype=dtype),
+        jnp.asarray(centers_np, dtype=dtype),
+        jnp.asarray(rhobar_np, dtype=dtype),
+        jnp.asarray(pressure_gradient, dtype=dtype),
+    )
 
 
 # ---------------------------------------------------------------------------

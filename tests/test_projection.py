@@ -170,3 +170,68 @@ def test_reference_variants(rng, var, reference_libprop):
     expect = lprop.wave_projection(*args, var=var)
     got = project_reference_variant(*args, BVF, var=var, max_span=5)
     np.testing.assert_allclose(np.asarray(got), expect, rtol=1e-11, atol=1e-20)
+
+
+@pytest.mark.parametrize("n", [100_000, 1_000_000])
+def test_fast_mode_flux_accumulation_meets_target(rng, n):
+    """The f32 fast path's deposit error vs the f64 oracle must stay under
+    the 1e-6 north-star target at 1e5 and 1e6 rays (VERDICT r1 item 1).
+    'native' f32 summation violates it at 1e6; the blockwise 'compensated'
+    and 'f64' modes restore ~1e-7."""
+    from msgwam_tpu.ops.projection import project, project_dense
+
+    # realistic population, forced exactly f32-representable so the
+    # comparison isolates computation error from input representation
+    r = rng.uniform(1e3, 80e3, n).astype(np.float32)
+    dr = rng.uniform(300.0, 900.0, n).astype(np.float32)
+    vals = (rng.lognormal(0.0, 1.0, n) * rng.uniform(0.1, 1.0, n) * 0.12) \
+        .astype(np.float32)[None, :]
+    pv = np.abs(rng.normal(1e-12, 1e-13, n)).astype(np.float32)
+    grid = np.linspace(0.0, 100e3, 101)
+    rl, ru = r - 0.5 * dr, r + 0.5 * dr
+
+    oracle = np.asarray(project(
+        jnp.asarray(vals, jnp.float64), jnp.asarray(rl, jnp.float64),
+        jnp.asarray(ru, jnp.float64), jnp.asarray(pv, jnp.float64),
+        None, jnp.asarray(grid), max_span=4,
+    ))
+    scale = np.max(np.abs(oracle))
+
+    f = jnp.asarray
+    g32 = jnp.asarray(grid, jnp.float32)
+
+    def err(accum):
+        fast = np.asarray(project_dense(
+            f(vals), f(rl), f(ru), f(pv), None, g32, accum=accum,
+        ), np.float64)
+        return np.max(np.abs(fast - oracle)) / scale
+
+    assert err("compensated") < 1e-6
+    assert err("f64") < 1e-6
+    if n == 1_000_000:
+        # the wide modes are load-bearing: plain f32 accumulation misses
+        # the target at 1e6 rays (measured ~4e-6)
+        assert err("native") > 1e-6
+
+
+def test_accum_modes_preserve_exactness_in_f64(rng):
+    """In float64, all accumulation modes agree to roundoff with the
+    segment-sum parity backend."""
+    from msgwam_tpu.ops.projection import project, project_dense
+
+    n = 4096 * 3 + 17  # exercises the remainder block
+    r = rng.uniform(1e3, 80e3, n)
+    dr = rng.uniform(300.0, 3000.0, n)
+    vals = rng.normal(0.0, 1.0, (2, n))
+    pv = np.abs(rng.normal(1e-12, 1e-13, n))
+    grid = jnp.linspace(0.0, 100e3, 101)
+    rl, ru = jnp.asarray(r - 0.5 * dr), jnp.asarray(r + 0.5 * dr)
+    valid = jnp.asarray(rng.random(n) > 0.1)
+
+    ref = np.asarray(project(jnp.asarray(vals), rl, ru, jnp.asarray(pv),
+                             valid, grid, max_span=5))
+    for accum in ["native", "compensated", "f64"]:
+        out = np.asarray(project_dense(jnp.asarray(vals), rl, ru,
+                                       jnp.asarray(pv), valid, grid,
+                                       accum=accum))
+        np.testing.assert_allclose(out, ref, rtol=1e-13, atol=1e-16)

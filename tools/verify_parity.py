@@ -1,14 +1,16 @@
 """Verify drive: full default-run parity vs reference + probes, all through
 the public msgwam_tpu API."""
 import os, sys, time
-# the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME works
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
     + " --xla_disable_hlo_passes=while_loop_unroller"
 ).strip()
 import numpy as np
 import jax
+# the axon TPU plugin ignores BOTH the JAX_PLATFORMS and JAX_PLATFORM_NAME
+# env vars (runs silently go to the TPU, whose emulated float64 is only
+# ~1e-14/op); jax.config is the one reliable switch
+jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
