@@ -5,8 +5,16 @@ saturation, on the default device (TPU).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the NumPy reference measured at ~3.0e4 ray-steps/s on one CPU core
 (BASELINE.md).
+
+Flags (the driver runs the default; extra configurations for humans/CI):
+  --backend {mxu,pallas,xla}   compute path (default mxu: dense-matmul XLA)
+  --accum {native,compensated,f64}  flux accumulation (mxu backend)
+  --sharded                    shard_map over all visible devices
+  --n-ray N / --steps N        problem size
+  --all                        run the full backend matrix, one JSON line each
 """
 
+import argparse
 import json
 import os
 import sys
@@ -32,12 +40,14 @@ DT = 120.0
 BASELINE_RAY_STEPS_PER_SEC = 3.0e4
 
 
-def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):
+def _setup(n_ray: int, backend: str, accum: str):
     cfg = mt.REFERENCE_RUN_CONFIG.replace(
         saturate_online=True,
         dtype="float32",
-        projection_backend="mxu",
-        interp_backend="mxu",
+        projection_backend="xla" if backend == "xla" else "mxu",
+        interp_backend="gather" if backend == "xla" else "mxu",
+        rhs_backend="pallas" if backend == "pallas" else "xla",
+        flux_accum=accum if backend == "mxu" else "native",
     )
     gc = mt.GridConfig()
     centers = gc.centers()
@@ -53,9 +63,28 @@ def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):
         dtype=jnp.float32,
     )
     state = mt.State(rays, mt.MeanState(jnp.asarray(uu), jnp.asarray(vv)))
+    return cfg, bg, state, statics
+
+
+def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
+            backend: str = "mxu", accum: str = "native",
+            sharded: bool = False) -> dict:
+    cfg, bg, state, statics = _setup(n_ray, backend, accum)
     run = mt.RunConfig(dt=DT, n_steps=n_steps, save_every=n_steps)
 
-    step_fn = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))
+    if sharded:
+        from msgwam_tpu.parallel.sharding import make_mesh, sharded_simulate
+
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        if n_ray % n_dev:
+            capacity = -(-n_ray // n_dev) * n_dev
+            rays, statics = mt.pad_rays(state.rays, statics, capacity)
+            state = mt.State(rays, state.mean)
+        step_fn = lambda s, st: sharded_simulate(mesh, s, st, bg, cfg, run)
+    else:
+        step_fn = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))
+
     out = step_fn(state, statics)  # compile + warm-up
     jax.block_until_ready(out)
 
@@ -68,16 +97,41 @@ def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):
 
     final_state = out[0]
     assert bool(jnp.all(jnp.isfinite(final_state.mean.u))), "wind blew up"
-    assert bool(jnp.all(jnp.isfinite(final_state.rays.dens))), "dens blew up"
+    if hasattr(final_state, "rays"):
+        assert bool(jnp.all(jnp.isfinite(final_state.rays.dens))), "dens blew up"
 
     ray_steps_per_sec = n_ray * n_steps / best
-    print(json.dumps({
-        "metric": "ray-volume steps/sec/chip at 1e5 rays (coupled, online saturation, f32)",
+    label = backend + ("+" + accum if accum != "native" else "") \
+        + ("+sharded" if sharded else "")
+    return {
+        "metric": f"ray-volume steps/sec/chip at {n_ray:.0e} rays "
+                  f"(coupled, online saturation, f32, {label})",
         "value": round(ray_steps_per_sec, 1),
         "unit": "ray-steps/s",
         "vs_baseline": round(ray_steps_per_sec / BASELINE_RAY_STEPS_PER_SEC, 1),
-    }))
+    }
+
+
+def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):
+    """Driver entry point: the metric of record, one JSON line."""
+    print(json.dumps(run_one(n_ray, n_steps)))
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", choices=["mxu", "pallas", "xla"], default="mxu")
+    ap.add_argument("--accum", choices=["native", "compensated", "f64"],
+                    default="native")
+    ap.add_argument("--sharded", action="store_true")
+    ap.add_argument("--n-ray", type=int, default=N_RAY)
+    ap.add_argument("--steps", type=int, default=N_STEPS)
+    ap.add_argument("--all", action="store_true",
+                    help="run the backend matrix (one JSON line per entry)")
+    args = ap.parse_args()
+    if args.all:
+        for backend, accum in [("mxu", "native"), ("mxu", "compensated"),
+                               ("pallas", "native"), ("xla", "native")]:
+            print(json.dumps(run_one(args.n_ray, args.steps, backend, accum)))
+    else:
+        print(json.dumps(run_one(args.n_ray, args.steps, args.backend,
+                                 args.accum, args.sharded)))

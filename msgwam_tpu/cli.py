@@ -174,14 +174,17 @@ def run_experiment(
         logger = MetricsLogger(run.n_steps, every=log_every)
         writer = None
         if stream_history:
-            from .utils.history_io import HistoryWriter
+            from .utils.history_io import StateHistoryWriter
 
             os.makedirs(out_dir, exist_ok=True)
-            writer = HistoryWriter(
-                os.path.join(out_dir, "u_history.msgw"),
-                (gc.n_cell,), np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype),
+            writer = StateHistoryWriter(
+                os.path.join(out_dir, "state_history.msgw"),
+                capacity=int(state.rays.dens.shape[0]), n_cell=gc.n_cell,
+                dtype=np.dtype(dtype.dtype if hasattr(dtype, 'dtype') else dtype),
             )
-        pieces = []
+        pieces = []       # full in-RAM history chunks (non-streamed mode)
+        diag_pieces = []  # per-chunk diagnostics (streamed mode: small)
+        uv_frames = []    # (frames, n_cell) wind profiles (streamed mode)
         for start in range(0, run.n_steps, log_every):
             state, statics, h = sim(state, statics, chunk)
             jax.block_until_ready(state)
@@ -191,29 +194,56 @@ def run_experiment(
                 active=float(jnp.sum(statics.active)),
             )
             if writer is not None:
-                writer.push(np.asarray(state.mean.u))
-            pieces.append(h)
+                # streamed mode: every decimated frame goes to disk through
+                # the async writer (bounded queue -> the host holds at most
+                # ~2 frames even at 1e6 rays) and only the per-frame grid
+                # diagnostics — a few hundred floats — stay in RAM
+                h_state, h_active, h_prop = h
+                for fi in range(h_active.shape[0]):
+                    writer.push_frame(
+                        jax.tree.map(lambda x: x[fi], h_state.rays),
+                        np.asarray(h_active[fi]),
+                        np.asarray(h_prop[fi]),
+                        jax.tree.map(lambda x: x[fi], h_state.mean),
+                    )
+                diag_pieces.append(wave_action_history(
+                    h_state.rays, h_active, statics, bg, cfg))
+                # np.array(copy=True): np.asarray of a CPU jax array is a
+                # zero-copy view whose buffer is recycled with the jax array
+                uv_frames.append((np.array(h_state.mean.u, copy=True),
+                                  np.array(h_state.mean.v, copy=True)))
+            else:
+                pieces.append(h)
         if writer is not None:
             writer.close()
-        hist = jax.tree.map(lambda *xs: jnp.concatenate(xs), *pieces)
+            diag = jax.tree.map(lambda *xs: jnp.concatenate(xs), *diag_pieces)
+            hist_u = np.concatenate([u for u, _ in uv_frames])
+            hist_v = np.concatenate([v for _, v in uv_frames])
+            hist = None
+        else:
+            hist = jax.tree.map(lambda *xs: jnp.concatenate(xs), *pieces)
         final, statics_f = state, statics
     else:
         final, statics_f, hist = sim(state, statics, run)
-    hist_state, hist_active, _ = hist
 
     os.makedirs(out_dir, exist_ok=True)
     ckpt = os.path.join(out_dir, "final_state.npz")
     save_checkpoint(ckpt, final, statics_f, step=step0 + run.n_steps,
                     extra={"spec": spec})
 
-    diag = wave_action_history(hist_state.rays, hist_active, statics_f, bg, cfg)
+    if hist is not None:
+        hist_state, hist_active, _ = hist
+        diag = wave_action_history(
+            hist_state.rays, hist_active, statics_f, bg, cfg)
+        hist_u = np.asarray(hist_state.mean.u)
+        hist_v = np.asarray(hist_state.mean.v)
     np.savez(
         os.path.join(out_dir, "diagnostics.npz"),
         wave_action=np.asarray(diag.wave_action),
         flux=np.asarray(diag.flux),
         tendency=np.asarray(diag.tendency),
-        u=np.asarray(hist_state.mean.u),
-        v=np.asarray(hist_state.mean.v),
+        u=hist_u,
+        v=hist_v,
         time=t0 + np.arange(1, run.n_steps // run.save_every + 1)
              * run.dt * run.save_every,
     )
