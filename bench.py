@@ -7,7 +7,9 @@ Baseline: the NumPy reference measured at ~3.0e4 ray-steps/s on one CPU core
 (BASELINE.md).
 
 Flags (the driver runs the default; extra configurations for humans/CI):
-  --backend {mxu,pallas,xla}   compute path (default mxu: dense-matmul XLA)
+  --backend {mxu,pallas,pallasw,xla}  compute path (default mxu: dense-matmul
+                               XLA; pallasw = height-windowed fused kernel
+                               with sort_every=20 ray sorting)
   --accum {native,compensated,f64}  flux accumulation (mxu backend)
   --sharded                    shard_map over all visible devices
   --n-ray N / --steps N        problem size
@@ -46,7 +48,8 @@ def _setup(n_ray: int, backend: str, accum: str):
         dtype="float32",
         projection_backend="xla" if backend == "xla" else "mxu",
         interp_backend="gather" if backend == "xla" else "mxu",
-        rhs_backend="pallas" if backend == "pallas" else "xla",
+        rhs_backend="pallas" if backend in ("pallas", "pallasw") else "xla",
+        window_cells=24 if backend == "pallasw" else 0,
         flux_accum=accum if backend == "mxu" else "native",
     )
     gc = mt.GridConfig()
@@ -83,7 +86,11 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
             state = mt.State(rays, state.mean)
         step_fn = lambda s, st: sharded_simulate(mesh, s, st, bg, cfg, run)
     else:
-        step_fn = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))
+        sort_every = 20 if backend == "pallasw" else 0
+        step_fn = jax.jit(
+            lambda s, st: mt.simulate(s, st, bg, cfg, run,
+                                      sort_every=sort_every)
+        )
 
     out = step_fn(state, statics)  # compile + warm-up
     jax.block_until_ready(out)
@@ -119,7 +126,8 @@ def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--backend", choices=["mxu", "pallas", "xla"], default="mxu")
+    ap.add_argument("--backend", choices=["mxu", "pallas", "pallasw", "xla"],
+                    default="mxu")
     ap.add_argument("--accum", choices=["native", "compensated", "f64"],
                     default="native")
     ap.add_argument("--sharded", action="store_true")
@@ -130,7 +138,8 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.all:
         for backend, accum in [("mxu", "native"), ("mxu", "compensated"),
-                               ("pallas", "native"), ("xla", "native")]:
+                               ("pallas", "native"), ("pallasw", "native"),
+                               ("xla", "native")]:
             print(json.dumps(run_one(args.n_ray, args.steps, backend, accum)))
     else:
         print(json.dumps(run_one(args.n_ray, args.steps, args.backend,

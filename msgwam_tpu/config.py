@@ -101,6 +101,14 @@ class ModelConfig:
     # "pallas" (one fused TPU kernel per RHS evaluation; float32,
     # hprop=False only — see ops/rhs_pallas.py).
     rhs_backend: str = "xla"
+    # Height-windowed fused kernel (pallas backend only): restrict the
+    # per-block basis/weight construction to a window of this many grid
+    # cells (rounded up to a multiple of 8; 0 disables).  Pays off when the
+    # ray buffer is kept approximately height-sorted (``simulate(...,
+    # sort_every=N)``); any step whose blocks outgrow the window falls back
+    # to the full kernel inside the same jitted step, so results are always
+    # exact — see ops/rhs_pallas_windowed.py.
+    window_cells: int = 0
 
     # Prognostic mean flow (wave–mean-flow coupling on).  False freezes the
     # wind tendencies — a truly *fixed* background (BASELINE config 1), or,

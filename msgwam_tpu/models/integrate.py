@@ -217,6 +217,7 @@ def simulate(
     include_t0: bool = False,
     source_key: Optional[jax.Array] = None,
     validate: bool = True,
+    sort_every: int = 0,
 ):
     """Run ``run.n_steps`` steps as one ``lax.scan``, recording an
     observation every ``run.save_every`` steps.
@@ -237,6 +238,15 @@ def simulate(
     like the reference's history buffers (``raytracer.py:139-150`` stores
     the initial condition before the loop); every history leaf then has
     leading axis ``n_steps // save_every + 1``.
+
+    ``sort_every=N`` keeps the ray buffer physically height-sorted (re-sorted
+    every N steps), which is what makes the windowed fused kernel
+    (``cfg.window_cells``, ops/rhs_pallas_windowed.py) effective.  A carried
+    slot-identity permutation makes this fully transparent: history frames,
+    relaunch templates, and the returned final state are all expressed in the
+    *original* slot order, so per-slot semantics (the reference's
+    ``raytracer.py:124-150`` history layout) are preserved exactly; only
+    floating-point reduction order differs.
 
     ``wind_fn(t) -> (u, v)`` prescribes a transient imposed background
     (e.g. :func:`msgwam_tpu.models.backgrounds.tidal_shear`): the mean wind
@@ -261,8 +271,33 @@ def simulate(
     if source_key is None:
         source_key = jnp.zeros((2,), dtype=jnp.uint32)  # unused placeholder
 
+    use_sort = sort_every > 0
+    slot0 = jnp.arange(state.rays.r.shape[0], dtype=jnp.int32)
+
+    def _sorted(st, stat, slot):
+        # inactive slots sort to the end, keeping live blocks height-local
+        order = jnp.argsort(jnp.where(stat.active, st.rays.r, jnp.inf))
+        g = lambda x: x[order]
+        return (st._replace(rays=jax.tree.map(g, st.rays)),
+                jax.tree.map(g, stat), slot[order])
+
+    def _unsorted(st, stat, aux, slot):
+        if not use_sort:
+            return st, stat, aux
+        inv = jnp.argsort(slot)
+        g = lambda x: x[inv]
+        return (st._replace(rays=jax.tree.map(g, st.rays)),
+                jax.tree.map(g, stat), jax.tree.map(g, aux))
+
     def inner(carry, i):
-        st, stat, key = carry
+        st, stat, key, slot = carry
+        if use_sort:
+            st, stat, slot = jax.lax.cond(
+                (i % sort_every) == 0,
+                _sorted,
+                lambda s, t, sl: (s, t, sl),
+                st, stat, slot,
+            )
         if wind_fn is not None:
             t = t0 + i.astype(bg.centers.dtype) * run.dt
             u, v = wind_fn(t)
@@ -279,6 +314,10 @@ def simulate(
                 template = source(sub)
             else:
                 template = source
+            if use_sort:
+                # express the template in the current (sorted) slot layout so
+                # each physical slot still receives *its* template ray
+                template = jax.tree.map(lambda x: x[slot], template)
 
             if relaunch_every > 1:
                 st, stat = jax.lax.cond(
@@ -288,12 +327,13 @@ def simulate(
                 )
             else:
                 st, stat = _sources.relaunch(st, stat, template)
-        return (st, stat, key), aux
+        return (st, stat, key, slot), aux
 
     def outer(carry, block):
-        (st, stat, key), aux = jax.lax.scan(inner, carry, block)
+        (st, stat, key, slot), aux = jax.lax.scan(inner, carry, block)
         aux_last = jax.tree.map(lambda x: x[-1], aux)
-        return (st, stat, key), observe(st, stat, aux_last)
+        ob_st, ob_stat, ob_aux = _unsorted(st, stat, aux_last, slot)
+        return (st, stat, key, slot), observe(ob_st, ob_stat, ob_aux)
 
     obs0 = None
     if include_t0:
@@ -302,9 +342,11 @@ def simulate(
         obs0 = observe(state, statics, StepAux(dens_prop=state.rays.dens))
 
     steps = jnp.arange(run.n_steps).reshape(n_outer, run.save_every)
-    (state, statics, _), history = jax.lax.scan(
-        outer, (state, statics, source_key), steps
+    (state, statics, _, slot), history = jax.lax.scan(
+        outer, (state, statics, source_key, slot0), steps
     )
+    if use_sort:
+        state, statics, _ = _unsorted(state, statics, StepAux(state.rays.dens), slot)
     if include_t0:
         history = jax.tree.map(
             lambda h0, h: jnp.concatenate([h0[None].astype(h.dtype), h]),

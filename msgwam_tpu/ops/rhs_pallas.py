@@ -19,10 +19,12 @@ issued 24× per 1024-ray tile, which made it 4-6× slower than XLA.  Here:
 * the interpolation basis is ``B[c, p] = max(0, 1 − |q_p − c|)`` with cells
   ``c`` on sublanes, built by broadcasting the (1, LANE) query row against a
   hoisted per-row cell-index constant — pure VPU, no shuffles;
-* each profile lookup (u, v at ray heights on cell centers; du/dz, dv/dz on
-  interior faces; ρ̄ at the saturation-extrapolated height) is one small MXU
-  contraction ``(2, C) @ (C, LANE)`` against its own slab-built basis
-  (measured faster than composing one stacked 3C-row basis with selects);
+* each profile lookup (du/dz, dv/dz at ray heights on interior faces; ρ̄ at
+  the saturation-extrapolated height — the winds u, v themselves are never
+  consumed with hprop off, so they are not interpolated at all) is one small
+  MXU contraction ``(2, C) @ (C, LANE)`` against its own slab-built basis
+  (measured faster than composing one stacked multi-query basis with
+  selects);
 * the flux deposit is a lane-axis contraction
   ``dot_general((2, LANE), (C, LANE), contract lanes) → (2, C)`` against the
   overlap-weight matrix built in the same transposed layout, accumulated
@@ -85,7 +87,7 @@ def _kernel(
     dens_ref, r_ref, dr_ref, k_ref, l_ref, m_ref, dm_ref, phi_ref,
     dkk_ref, dll_ref, area_ref, act_ref,
     dens_st_ref, drr_st_ref, dmm_st_ref, flux_ref,
-    acc_ref, comp_ref, u_s, v_s, du_s, dv_s, rho_s,
+    acc_ref, comp_ref, du_s, dv_s, rho_s,
     *, n_tab: int, n_flux_cells: int, c_pad: int,
     saturate_online: bool, faithful: bool,
 ):
@@ -170,19 +172,18 @@ def _kernel(
     for j in range(SUBLANES):
         # one hat basis per query point, one small contraction per table
         # pair — no stacked-query composition (pure slab builds measure
-        # fastest; each build is 4 VPU ops on (c_pad, LANE))
+        # fastest; each build is 4 VPU ops on (c_pad, LANE)).  With hprop
+        # off the winds u, v themselves never enter a live tendency (only
+        # the shears and ρ̄ do, models/rhs.py:109-114), so no u/v
+        # interpolation is performed at all — 2 query points, not 3.
         rj = r_ref[j, :][None, :]                              # (1, LANE)
-        uv = interp(tables_ref[0:2, 0:c_pad],
-                    hat((jnp.clip(rj, g0c, hi_c) - g0c) / dz))
-        sh = interp(tables_ref[2:4, c_pad:2 * c_pad],
+        sh = interp(tables_ref[0:2, 0:c_pad],
                     hat((jnp.clip(rj, g0f, hi_f) - g0f) / dz))
-        u_s[j, :] = uv[0, :]
-        v_s[j, :] = uv[1, :]
         du_s[j, :] = sh[0, :]
         dv_s[j, :] = sh[1, :]
         if saturate_online:
             rfj = r_fin[j, :][None, :]
-            rho = interp(tables_ref[4:5, 2 * c_pad:3 * c_pad],
+            rho = interp(tables_ref[2:3, c_pad:2 * c_pad],
                          hat((jnp.clip(rfj, g0c, hi_c) - g0c) / dz))
             rho_s[j, :] = rho[0, :]
 
@@ -270,7 +271,7 @@ def _rhs_fused_call(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # params
-            pl.BlockSpec((8, 3 * c_pad), lambda i: (0, 0)),        # tablesT
+            pl.BlockSpec((8, 2 * c_pad), lambda i: (0, 0)),        # tablesT
             row, row, row, row, row, row, row, row, row, row, row, row,
         ],
         out_specs=(
@@ -289,19 +290,18 @@ def _rhs_fused_call(
             pltpu.VMEM((SUBLANES, LANE), jnp.float32),
             pltpu.VMEM((SUBLANES, LANE), jnp.float32),
             pltpu.VMEM((SUBLANES, LANE), jnp.float32),
-            pltpu.VMEM((SUBLANES, LANE), jnp.float32),
-            pltpu.VMEM((SUBLANES, LANE), jnp.float32),
         ],
         interpret=interpret,
     )(params, tables, dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act)
     return outs
 
 
-def rhs_fused(dt, state, statics, bg, cfg):
-    """Fused-RHS entry point: returns ``(ray_tendencies_dict, pm_interior)``
-    where ``pm_interior`` is the (2, n_flux_cells) interior flux profile
-    (the caller builds the mean-flow tendencies exactly as ``models/rhs.py``
-    does).  Requires ``cfg.hprop == False`` and float32 state."""
+def prepare_inputs(dt, state, statics, bg, cfg):
+    """Shared input prep for the fused kernels: returns
+    ``(params, tables, fields, dims)`` where ``fields`` is the tuple of
+    (n_rows, LANE)-shaped padded f32 ray arrays in kernel argument order and
+    ``dims = (n, n_tab, n_flux_cells, c_pad)``.  Used by both the full
+    kernel below and the windowed kernel (``rhs_pallas_windowed.py``)."""
     if cfg.hprop:
         raise ValueError("rhs_fused supports hprop=False only")
     rays, mean = state
@@ -319,18 +319,18 @@ def rhs_fused(dt, state, statics, bg, cfg):
         return jnp.pad(x, (0, c_pad - x.shape[0]))
 
     zeros = jnp.zeros((c_pad,), jnp.float32)
-    # stacked left operand, one (8, 3·c_pad) matrix: row v holds table v in
-    # its query block and zeros elsewhere, so one MXU contraction per
-    # sublane evaluates all five profiles (see _kernel docstring)
+    # stacked left operand, one (8, 2·c_pad) matrix: row v holds table v in
+    # its query block and zeros elsewhere (u and v themselves are never
+    # consumed with hprop off, so only shears + ρ̄ are tabulated)
     tables = jnp.stack([
-        jnp.concatenate([tab(mean.u), zeros, zeros]),     # u   @ B_centers(r)
-        jnp.concatenate([tab(mean.v), zeros, zeros]),     # v   @ B_centers(r)
-        jnp.concatenate([zeros, tab(du_dz), zeros]),      # du  @ B_faces(r)
-        jnp.concatenate([zeros, tab(dv_dz), zeros]),      # dv  @ B_faces(r)
-        jnp.concatenate([zeros, zeros, tab(bg.rhobar)]),  # ρ̄  @ B_centers(r_fin)
-        jnp.zeros((3 * c_pad,), jnp.float32),
-        jnp.zeros((3 * c_pad,), jnp.float32),
-        jnp.zeros((3 * c_pad,), jnp.float32),
+        jnp.concatenate([tab(du_dz), zeros]),      # du/dz @ B_faces(r)
+        jnp.concatenate([tab(dv_dz), zeros]),      # dv/dz @ B_faces(r)
+        jnp.concatenate([zeros, tab(bg.rhobar)]),  # ρ̄    @ B_centers(r_fin)
+        jnp.zeros((2 * c_pad,), jnp.float32),
+        jnp.zeros((2 * c_pad,), jnp.float32),
+        jnp.zeros((2 * c_pad,), jnp.float32),
+        jnp.zeros((2 * c_pad,), jnp.float32),
+        jnp.zeros((2 * c_pad,), jnp.float32),
     ])
 
     f0 = 2.0 * ROT_EARTH * jnp.sin(jnp.float32(cfg.phi0))
@@ -351,15 +351,28 @@ def rhs_fused(dt, state, statics, bg, cfg):
         x = x.astype(jnp.float32)
         return jnp.pad(x, (0, pad), constant_values=fill).reshape(-1, LANE)
 
-    interpret = jax.default_backend() != "tpu"
-    dens_st, drr_st, dmm_st, flux = _rhs_fused_call(
-        params, tables,
+    fields = (
         shape2(rays.dens), shape2(rays.r), shape2(rays.dr, 1.0),
         shape2(rays.k, 1e-5), shape2(rays.l), shape2(rays.m, -1e-3),
         shape2(rays.dm, 1e-6), shape2(rays.phi),
         shape2(statics.dkk, 1.0), shape2(statics.dll, 1.0),
         shape2(statics.rr_mm_area),
         shape2(statics.active.astype(jnp.float32)),
+    )
+    return params, tables, fields, (n, n_tab, n_flux_cells, c_pad)
+
+
+def rhs_fused(dt, state, statics, bg, cfg):
+    """Fused-RHS entry point: returns ``(ray_tendencies_dict, pm_interior)``
+    where ``pm_interior`` is the (2, n_flux_cells) interior flux profile
+    (the caller builds the mean-flow tendencies exactly as ``models/rhs.py``
+    does).  Requires ``cfg.hprop == False`` and float32 state."""
+    params, tables, fields, (n, n_tab, n_flux_cells, _) = prepare_inputs(
+        dt, state, statics, bg, cfg
+    )
+    interpret = jax.default_backend() != "tpu"
+    dens_st, drr_st, dmm_st, flux = _rhs_fused_call(
+        params, tables, *fields,
         n_tab=n_tab, n_flux_cells=n_flux_cells,
         saturate_online=bool(cfg.saturate_online),
         faithful=bool(cfg.faithful_saturation),

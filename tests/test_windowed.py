@@ -1,0 +1,125 @@
+"""Height-windowed fused kernel (ops/rhs_pallas_windowed.py) and the
+``sort_every`` slot-identity machinery in ``simulate``.
+
+The windowed kernel must be *exactly* as correct as the full fused kernel in
+both regimes: windows engaged (sorted, narrow blocks) and fallback (spread
+rays exceed the window).  Sorting must be invisible in the results: history
+frames, relaunch, and the final state keep original slot order.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import msgwam_tpu as mt
+from msgwam_tpu.models.rhs import rhs
+from msgwam_tpu.ops.rhs_pallas import prepare_inputs
+from msgwam_tpu.ops.rhs_pallas_windowed import _block_windows
+
+
+def _setup(n=12000, pad_to=16384, spread=None, sort=False):
+    cfg = mt.REFERENCE_RUN_CONFIG.replace(
+        saturate_online=True, dtype="float32",
+        projection_backend="mxu", interp_backend="mxu",
+    )
+    gc = mt.GridConfig()
+    centers = gc.centers()
+    uu = np.asarray(
+        mt.velocities_sine_homogeneous(jnp.asarray(centers, jnp.float32), cfg)
+    ).astype(np.float32)
+    bg = mt.make_background(gc, cfg, uu, np.zeros_like(uu), dtype=jnp.float32)
+    rays, statics = mt.gaussian_spectrum_source(cfg, bg, n, dtype=jnp.float32)
+    if spread is not None:
+        r = np.linspace(spread[0], spread[1], n).astype(np.float32)
+        rng = np.random.default_rng(0)
+        rng.shuffle(r)
+        rays = rays._replace(r=jnp.asarray(r))
+    rays, statics = mt.pad_rays(rays, statics, pad_to)
+    if sort:
+        order = jnp.argsort(jnp.where(statics.active, rays.r, jnp.inf))
+        rays = jax.tree.map(lambda x: x[order], rays)
+        statics = jax.tree.map(lambda x: x[order], statics)
+    state = mt.State(
+        rays, mt.MeanState(jnp.asarray(uu), jnp.zeros_like(jnp.asarray(uu)))
+    )
+    return cfg, bg, state, statics
+
+
+def _rel(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-30)
+
+
+def _assert_matches(a, b, tol):
+    assert _rel(a.rays.dens, b.rays.dens) < tol
+    assert _rel(a.rays.r, b.rays.r) < tol
+    assert _rel(a.rays.m, b.rays.m) < tol
+    assert _rel(a.mean.u, b.mean.u) < tol
+    for f in ("lam", "phi", "dr", "k", "l", "dm"):
+        assert np.all(np.asarray(getattr(b.rays, f)) == 0), f
+
+
+def test_windowed_engaged_matches_xla():
+    """Sorted rays over a 2-20 km band, 2 blocks: windows engage (ok=True,
+    distinct per-block starts) and the result matches the XLA path."""
+    cfg, bg, state, statics = _setup(spread=(2e3, 20e3), sort=True)
+    cfgw = cfg.replace(rhs_backend="pallas", window_cells=24)
+
+    params, _, fields, dims = prepare_inputs(120.0, state, statics, bg, cfgw)
+    win, ok = _block_windows(fields, params, dims, 24)
+    assert bool(ok), "sorted blocks must fit the 24-cell window"
+    assert np.asarray(win).shape == (2,)
+    assert np.asarray(win)[1] > np.asarray(win)[0]  # height-ordered starts
+
+    a = rhs(120.0, state, statics, bg, cfg)
+    b = rhs(120.0, state, statics, bg, cfgw)
+    _assert_matches(a, b, 2e-5)
+
+
+def test_windowed_fallback_exact():
+    """Rays scattered over the whole grid blow the window: the lax.cond
+    fallback runs the full kernel, so the result still matches the XLA path
+    exactly — never a silent truncation."""
+    cfg, bg, state, statics = _setup(spread=(2e3, 95e3), sort=False)
+    cfgw = cfg.replace(rhs_backend="pallas", window_cells=24)
+
+    params, _, fields, dims = prepare_inputs(120.0, state, statics, bg, cfgw)
+    _, ok = _block_windows(fields, params, dims, 24)
+    assert not bool(ok), "spread unsorted blocks must not fit the window"
+
+    a = rhs(120.0, state, statics, bg, cfg)
+    b = rhs(120.0, state, statics, bg, cfgw)
+    _assert_matches(a, b, 2e-5)
+
+
+def test_sort_every_transparent():
+    """simulate(sort_every=N) returns history frames and final state in the
+    original slot order: equal (up to reduction-order float noise) to the
+    unsorted run, including with culling + relaunch exercising slot reuse."""
+    cfg = mt.REFERENCE_RUN_CONFIG.replace(
+        saturate_online=True, cull=True, relaunch=True, m_max=2 * np.pi / 300.0
+    )
+    gc = mt.GridConfig()
+    centers = gc.centers()
+    uu = np.asarray(mt.velocities_sine_homogeneous(jnp.asarray(centers), cfg))
+    bg = mt.make_background(gc, cfg, uu, np.zeros_like(uu))
+    rays, statics = mt.gaussian_spectrum_source(cfg, bg, 64)
+    rays, statics = mt.pad_rays(rays, statics, 96)
+    state = mt.State(rays, mt.MeanState(jnp.asarray(uu), jnp.zeros(100)))
+    template = (rays, statics)
+    run = mt.RunConfig(dt=120.0, n_steps=12, save_every=4)
+
+    fa, sa, ha = mt.simulate(state, statics, bg, cfg, run, source=template)
+    fb, sb, hb = mt.simulate(
+        state, statics, bg, cfg, run, source=template, sort_every=3
+    )
+
+    for xa, xb in zip(jax.tree.leaves(ha), jax.tree.leaves(hb)):
+        np.testing.assert_allclose(
+            np.asarray(xa, dtype=np.float64),
+            np.asarray(xb, dtype=np.float64), rtol=1e-9, atol=1e-18,
+        )
+    np.testing.assert_allclose(
+        np.asarray(fa.rays.r), np.asarray(fb.rays.r), rtol=1e-9
+    )
+    np.testing.assert_array_equal(np.asarray(sa.active), np.asarray(sb.active))
