@@ -85,6 +85,10 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
             rays, statics = mt.pad_rays(state.rays, statics, capacity)
             state = mt.State(rays, state.mean)
         step_fn = lambda s, st: sharded_simulate(mesh, s, st, bg, cfg, run)
+    elif backend == "mega":
+        from msgwam_tpu.ops.step_pallas import simulate_resident
+
+        step_fn = jax.jit(lambda s, st: simulate_resident(s, st, bg, cfg, run))
     else:
         sort_every = 20 if backend == "pallasw" else 0
         step_fn = jax.jit(
@@ -126,7 +130,8 @@ def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--backend", choices=["mxu", "pallas", "pallasw", "xla"],
+    ap.add_argument("--backend",
+                    choices=["mxu", "pallas", "pallasw", "mega", "xla"],
                     default="mxu")
     ap.add_argument("--accum", choices=["native", "compensated", "f64"],
                     default="native")
