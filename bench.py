@@ -37,7 +37,10 @@ import jax.numpy as jnp  # noqa: E402
 import msgwam_tpu as mt  # noqa: E402
 
 N_RAY = 100_000
-N_STEPS = 100
+# 1000 steps so the fixed per-dispatch cost of the tunneled TPU backend
+# (~25 ms/call, measured by varying --steps: total = C + n*s) amortizes to
+# <3% of the measurement; at 100 steps it inflated per-step time ~2x.
+N_STEPS = 1000
 DT = 120.0
 BASELINE_RAY_STEPS_PER_SEC = 3.0e4
 
@@ -90,11 +93,9 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
 
         step_fn = jax.jit(lambda s, st: simulate_resident(s, st, bg, cfg, run))
     else:
-        sort_every = 20 if backend == "pallasw" else 0
-        step_fn = jax.jit(
-            lambda s, st: mt.simulate(s, st, bg, cfg, run,
-                                      sort_every=sort_every)
-        )
+        # pallasw relies on launch-order height coherence (no sorting: XLA's
+        # TPU sort costs 150-250 ms at 1e6 rays, ~100x the whole step)
+        step_fn = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))
 
     out = step_fn(state, statics)  # compile + warm-up
     jax.block_until_ready(out)

@@ -68,8 +68,10 @@ def config_1_fixed_background():
         lambda s, st: mt.simulate(s, st, bg, cfg, run)
     )(state, statics)
 
+    from msgwam_tpu.diagnostics import wave_action_history
+
     hist_state, hist_active, _ = hist
-    diag = mt.diagnostics.wave_action_history(
+    diag = wave_action_history(
         hist_state.rays, hist_active, statics, bg, cfg
     )
     wa = np.asarray(diag.wave_action)

@@ -4,28 +4,36 @@ The scan-based step path pays, per time step: ~0.1 ms of XLA while-loop
 overhead (measured on the tunneled TPU backend), 3 kernel launches, the RK3
 stage arithmetic's HBM round-trips, and 3× streaming of the ray state
 through VMEM.  At the metric-of-record size (1e5 rays) those fixed costs
-*dominate*: the physics itself is ~0.1 ms/step.
+rival the physics itself (~0.15 ms/eval).
 
 This kernel removes all of them at once for states that fit in VMEM
 (~16 MB/core → capacity ≤ 131,072 rays; the whole 1e5-ray benchmark state
-is ~5 MB): ONE ``pallas_call`` executes ``n_steps`` complete Williamson RK3
-steps (``lib/libprop.py:680-700``) with the ray state, the RK3 ``q``
-registers, and the mean wind all resident in VMEM.  Per grid step i (= one
-time step):
+is ~8 MB): ONE ``pallas_call`` with a sequential 3-D grid
+``(n_steps, 3 stages, n_tiles)`` executes ``n_steps`` complete Williamson
+RK3 steps (``lib/libprop.py:680-700``) with the ray state, the RK3 ``q``
+registers, and the mean wind all resident in VMEM.  Layout lessons baked in
+(each measured against the alternatives this round):
 
-* 3 unrolled stages, each the full coupled RHS (``lib/libprop.py:618-676``)
-  in the v3 transposed layout (cells on sublanes, rays on lanes):
-  elementwise dispersion/refraction physics on whole (rows, LANE) arrays, a
-  ``fori_loop`` over sublane rows for the hat-basis interpolation (shears +
-  ρ̄ at the saturation-extrapolated height) and the Kahan-accumulated
-  pseudo-momentum-flux deposit;
-* the flux→wind coupling (boundary padding, divergence, Coriolis, pressure
-  gradient — ``lib/libprop.py:523-558,653-663``) is two host-precomputed
-  linear maps applied on the MXU: ``du_dz = u @ SH`` (centered-FD shear
-  table) and ``grad = flux @ G`` (pad-edges-then-divergence), each built by
+* work is addressed at *tile* granularity (64 sublane rows = 8192 rays):
+  one dynamic VMEM slab read/write per array per tile, then fully **static**
+  per-row addressing inside the unrolled 64-row loop — per-row or per-group
+  ``fori`` bodies with dynamic addressing measured 1.6-2.3× slower (the
+  packed-group MXU variant was latency-bound on its 14 small serial dots);
+* each tile gets a ``W``-cell window (cells on sublanes) computed in-kernel
+  from the tile's own touched-cell bounds — consecutive source slots are
+  height-coherent, so **no sorting is needed**; a tile whose span outgrows
+  ``W`` falls back, inside the same kernel, to the exact full-width path
+  (never a silent truncation);
+* the flux deposit contracts per row on the MXU and accumulates in
+  registers per tile, with a single flux-accumulator update per tile;
+* stage boundaries ride the sequential grid: at ``tile == 0`` the stage's
+  shear/ρ̄ interpolation tables are rebuilt from the current wind (one MXU
+  map, ``shear = SH^T·u``); at the last tile the accumulated flux is turned
+  into the wind update (``grad = G^T·flux``, Coriolis, pressure gradient —
+  ``lib/libprop.py:523-558,653-663``); both maps are host-precomputed by
   pushing basis vectors through the exact XLA-path formulas;
-* the RK3 q/y updates run in place on VMEM refs (stage 1's ``y += q/3``
-  uses the reference's division form).
+* the RK3 q/y updates run tile-wise in place on VMEM refs (stage 1's
+  ``y += q/3`` uses the reference's division form).
 
 Scope: ``hprop=False``, ``saturate_online=True``, float32, no
 culling/relaunch/prescribed wind inside the kernel (those run through the
@@ -46,7 +54,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import ROT_EARTH
 
 LANE = 128
-MAX_ROWS = 1024          # 131,072 rays: ~12.6 MB of VMEM working set
+TILE_ROWS = 64           # 8192 rays per tile
+MAX_ROWS = 1024          # 131,072 rays: ~12 MB of VMEM working set
+WIN = 32                 # per-tile window cells (8-aligned)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -56,20 +66,21 @@ def _ceil_to(x: int, m: int) -> int:
 # scalar-parameter slots (float32 SMEM)
 (_G0C, _DZ, _G0F, _DT, _BVF, _KAPPA, _F0, _NPAR) = range(8)
 
-# Williamson low-storage coefficients (lib/libprop.py:693-698)
-_RK3_STAGES = ((0.0, None), (5.0 / 9.0, 15.0 / 16.0), (153.0 / 128.0, 8.0 / 15.0))
-
 
 def _kernel(
-    params_ref, maps_ref, rows_ref,
-    dens_in, r_in, m_in, u_in, v_in,
+    params_ref, maps_ref, cols_ref,
+    dens_in, r_in, m_in, uv_in,
     k_ref, l_ref, dr_ref, dm_ref, phi_ref, dkk_ref, dll_ref, area_ref, act_ref,
     dens_o, r_o, m_o, uv_o,
-    qd, qr, qm, du_s, dv_s, rho_s, rfin_s, fvk_s, fvl_s, quv,
+    qd, qr, qm, du_s, dv_s, rho_s, quv, acc_ref, tabs_m,
     *, n_rows: int, n_tab: int, n_flux_cells: int, c_pad: int,
-    prognostic: bool, faithful: bool,
+    tile_rows: int, prognostic: bool, faithful: bool,
 ):
-    i = pl.program_id(0)
+    step = pl.program_id(0)
+    st = pl.program_id(1)
+    tl = pl.program_id(2)
+    n_tiles = pl.num_programs(2)
+
     g0c = params_ref[_G0C]
     dz = params_ref[_DZ]
     g0f = params_ref[_G0F]
@@ -77,162 +88,254 @@ def _kernel(
     bvf = params_ref[_BVF]
     kappa = params_ref[_KAPPA]
     f0 = params_ref[_F0]
+    W = WIN
+    T = tile_rows
 
-    @pl.when(i == 0)
+    @pl.when((step == 0) & (st == 0) & (tl == 0))
     def _():
         dens_o[:] = dens_in[:]
         r_o[:] = r_in[:]
         m_o[:] = m_in[:]
-        uv_o[0:1, :] = u_in[0:1, :]
-        uv_o[1:2, :] = v_in[0:1, :]
-        uv_o[2:8, :] = jnp.zeros((6, c_pad), jnp.float32)
+        uv_o[:] = uv_in[:]
 
-    # static per-ray quantities (hprop off: k, l, phi, dr, dm frozen)
-    k = k_ref[:]
-    l = l_ref[:]
-    dr = dr_ref[:]
-    phi = phi_ref[:]
-    act = act_ref[:]
-    amask = act > 0
-    ff2 = (2.0 * ROT_EARTH) * (2.0 * ROT_EARTH) * jnp.sin(phi) * jnp.sin(phi)
-    kh2 = k * k + l * l
-    pv = jnp.abs(dkk_ref[:] * dll_ref[:] * dm_ref[:])
-    nzmax = n_flux_cells - 1
+    # --- per-stage setup (before any tile of this stage) -------------------
+    @pl.when(tl == 0)
+    def _():
+        sh_cols = jax.lax.dot_general(
+            maps_ref[0:c_pad, :], uv_o[:],
+            dimension_numbers=((((0,), (0,))), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # (c_pad, 8)
+        tabs_m[:, 0:2] = sh_cols[:, 0:2]
+        tabs_m[:, 2:3] = cols_ref[:, 0:1]                   # ρ̄
+        tabs_m[:, 3:8] = jnp.zeros((c_pad, 5), jnp.float32)
+        acc_ref[:] = jnp.zeros((c_pad, 8), jnp.float32)
+
+    nzmax_i = n_flux_cells - 1
+    nzmax = jnp.float32(nzmax_i)
     hi_c = g0c + (n_tab - 1.0) * dz
     hi_f = g0f + (n_tab - 2.0) * dz
 
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (c_pad, LANE), 0)
-    col_f = col_i.astype(jnp.float32)
-    gflo = g0c + col_f * dz
-    gfhi = gflo + dz
+    col_full = jax.lax.broadcasted_iota(jnp.int32, (c_pad, LANE), 0)
+    col_full_f = col_full.astype(jnp.float32)
+    col_win_i = jax.lax.broadcasted_iota(jnp.int32, (W, LANE), 0)
+    col_win = col_win_i.astype(jnp.float32)
 
-    def hat(q):
-        return jnp.maximum(0.0, 1.0 - jnp.abs(q - col_f))
+    # --- tile work ---------------------------------------------------------
+    base = tl * T
+    slab = pl.ds(base, T)
 
-    def interp2(lhs, B):
-        return jax.lax.dot_general(
-            lhs, B, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    dens = dens_o[slab, :]
+    r = r_o[slab, :]
+    m = m_o[slab, :]
+    k = k_ref[slab, :]
+    l = l_ref[slab, :]
+    dr = dr_ref[slab, :]
+    phi = phi_ref[slab, :]
+    act = act_ref[slab, :]
+    amask = act > 0
 
-    def stage(c_coef, b_coef, first):
-        dens = dens_o[:]
-        r = r_o[:]
-        m = m_o[:]
-        u_row = uv_o[0:1, :]
-        v_row = uv_o[1:2, :]
+    ff2 = (2.0 * ROT_EARTH) * (2.0 * ROT_EARTH) * jnp.sin(phi) * jnp.sin(phi)
+    kh2 = k * k + l * l
+    pv = jnp.abs(dkk_ref[slab, :] * dll_ref[slab, :] * dm_ref[slab, :])
+    om = jnp.sqrt((bvf * bvf * kh2 + ff2 * m * m) / (kh2 + m * m))
+    cgr = -m * (om * om - ff2) / om / (kh2 + m * m)
+    r_fin = r + cgr * dt
+    fv = cgr * dens / dz
+    r_lo = r - 0.5 * dr
+    r_up = r + 0.5 * dr
+    nlow = (r_lo / dz).astype(jnp.int32)
+    nup = (r_up / dz + 1.0).astype(jnp.int32)
+    ood = ((nlow >= nzmax_i) & (nup >= nzmax_i)) | ((nlow <= 0) & (nup <= 0))
+    live = amask & ~ood
+    fvk = jnp.where(live, fv * k * pv, 0.0)
+    fvl = jnp.where(live, fv * l * pv, 0.0)
+    nlow = jnp.clip(nlow, 0, nzmax_i)
+    nup = jnp.clip(nup, 0, nzmax_i)
 
-        # --- per-ray elementwise physics (lib/libprop.py:369-448,519-520)
-        om = jnp.sqrt((bvf * bvf * kh2 + ff2 * m * m) / (kh2 + m * m))
-        cgr = -m * (om * om - ff2) / om / (kh2 + m * m)
-        rfin_s[:] = r + cgr * dt
-        fv = cgr * dens / dz
-        r_lo = r - 0.5 * dr
-        r_up = r + 0.5 * dr
-        nlow = (r_lo / dz).astype(jnp.int32)
-        nup = (r_up / dz + 1.0).astype(jnp.int32)
-        ood = ((nlow >= nzmax) & (nup >= nzmax)) | ((nlow <= 0) & (nup <= 0))
-        live = amask & ~ood
-        fvk_s[:] = jnp.where(live, fv * k * pv, 0.0)
-        fvl_s[:] = jnp.where(live, fv * l * pv, 0.0)
+    # --- per-tile window from the tile's own touched-cell bounds -----------
+    qf_t = (jnp.clip(r, g0f, hi_f) - g0f) / dz
+    qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) / dz
+    lo_t = jnp.minimum(jnp.minimum(jnp.floor(qf_t), jnp.floor(qr_t)) - 1.0,
+                       nlow.astype(jnp.float32))
+    hi_t = jnp.maximum(jnp.maximum(jnp.floor(qf_t), jnp.floor(qr_t)) + 2.0,
+                       nup.astype(jnp.float32))
+    lo_t = jnp.where(amask, lo_t, 1e9)
+    hi_t = jnp.where(amask, hi_t, -1e9)
+    win = jnp.clip((jnp.min(lo_t).astype(jnp.int32) // 8) * 8, 0, c_pad - W)
+    winf = win.astype(jnp.float32)
+    ok = jnp.max(hi_t) - winf <= W
 
-        # --- shear table from the current wind (one MXU map: u @ SH)
-        sh_du = interp2(u_row, maps_ref[0:c_pad, :])        # (1, c_pad)
-        sh_dv = interp2(v_row, maps_ref[0:c_pad, :])
-        shear = jnp.concatenate([sh_du, sh_dv], axis=0)     # (2, c_pad)
-        rho_row = rows_ref[0:1, :]                          # ρ̄ padded
+    def hat_win(q):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(q - winf - col_win))
 
-        # --- interpolation + flux deposit over sublane rows ----------------
-        def body(j, carry):
-            acc, comp = carry
-            rj = r_o[j, :][None, :]
-            Bf = hat((jnp.clip(rj, g0f, hi_f) - g0f) / dz)
-            sh2 = interp2(shear, Bf)                        # (2, LANE)
-            du_s[j, :] = sh2[0, :]
-            dv_s[j, :] = sh2[1, :]
-            rfj = rfin_s[j, :][None, :]
-            Br = hat((jnp.clip(rfj, g0c, hi_c) - g0c) / dz)
-            rho = interp2(rho_row, Br)
-            rho_s[j, :] = rho[0, :]
+    def hat_full(q):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(q - col_full_f))
 
-            rl = r_o[j, :][None, :] - 0.5 * dr_ref[j, :][None, :]
-            ru = r_o[j, :][None, :] + 0.5 * dr_ref[j, :][None, :]
-            nl = jnp.clip((rl / dz).astype(jnp.int32), 0, nzmax)
-            nu = jnp.clip((ru / dz + 1.0).astype(jnp.int32), 0, nzmax)
-            in_span = (col_i >= nl) & (col_i < nu)
+    @pl.when(ok)
+    def _windowed():
+        tabw = tabs_m[pl.ds(win, W), :]                     # (W, 8)
+        tab_du = tabw[:, 0:1]
+        tab_dv = tabw[:, 1:2]
+        tab_rho = tabw[:, 2:3]
+        gflo = g0c + (winf + col_win) * dz
+        gfhi = gflo + dz
+        colw = col_win_i + win
+
+        du_rows = []
+        dv_rows = []
+        rho_rows = []
+        tile_acc = jnp.zeros((W, 8), jnp.float32)
+        for j in range(T):
+            rj = r[j, :][None, :]
+            Bf = hat_win((jnp.clip(rj, g0f, hi_f) - g0f) / dz)
+            du_rows.append(jnp.sum(tab_du * Bf, axis=0))
+            dv_rows.append(jnp.sum(tab_dv * Bf, axis=0))
+            rfj = r_fin[j, :][None, :]
+            Br = hat_win((jnp.clip(rfj, g0c, hi_c) - g0c) / dz)
+            rho_rows.append(jnp.sum(tab_rho * Br, axis=0))
+
+            in_span = (colw >= nlow[j, :][None, :]) \
+                & (colw < nup[j, :][None, :])
+            rl = r_lo[j, :][None, :]
+            ru = r_up[j, :][None, :]
             wmat = jnp.where(
                 in_span,
                 jnp.abs(jnp.minimum(gfhi, ru) - jnp.maximum(gflo, rl)),
                 0.0,
-            )                                               # (c_pad, LANE)
-            fv2 = jnp.concatenate(
-                [fvk_s[j, :][None, :], fvl_s[j, :][None, :]], axis=0
-            )
-            part = jax.lax.dot_general(
-                fv2, wmat, dimension_numbers=(((1,), (1,)), ((), ())),
+            )                                               # (W, LANE)
+            fv8 = jnp.concatenate(
+                [fvk[j, :][None, :], fvl[j, :][None, :],
+                 jnp.zeros((6, LANE), jnp.float32)], axis=0)
+            tile_acc = tile_acc + jax.lax.dot_general(
+                wmat, fv8, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                               # (2, c_pad)
-            y = part - comp
-            t = acc + y
-            comp = (t - acc) - y
-            return t, comp
+            )                                               # (W, 8)
 
-        acc0 = jnp.zeros((2, c_pad), jnp.float32)
-        acc, _ = jax.lax.fori_loop(0, n_rows, body, (acc0, acc0))
+        du_s[slab, :] = jnp.stack(du_rows)
+        dv_s[slab, :] = jnp.stack(dv_rows)
+        rho_s[slab, :] = jnp.stack(rho_rows)
+        aw = pl.ds(win, W)
+        acc_ref[aw, :] = acc_ref[aw, :] + tile_acc
 
-        # --- remaining ray tendencies --------------------------------------
-        dmm_st = -(k * du_s[:] + l * dv_s[:])               # lib/libprop.py:519
-        m_fin = m + dmm_st * dt
-        dmm_fin = area_ref[:] / dr
-        omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m * m) / (kh2 + m * m))
-        cap = (
-            kappa * kappa * 0.5 * rho_s[:] * omh * bvf * bvf
-            / (m_fin * m_fin) / (omh * omh - f0 * f0)
-        )
-        pvol = dkk_ref[:] * dll_ref[:] * dmm_fin
-        cap_applied = cap if faithful else cap / pvol
-        exceed = cap < dens * pvol
-        dens_st = jnp.where(exceed & amask, (cap_applied - dens) / dt, 0.0)
-        drr_st = jnp.where(amask, cgr, 0.0)
-        dmm_st = jnp.where(amask, dmm_st, 0.0)
+    @pl.when(~ok)
+    def _full():
+        # exact fallback: full-width bases/weights (row form of the stage
+        # tables via one small transposing contraction)
+        eye2 = jnp.concatenate(
+            [jnp.eye(3, dtype=jnp.float32),
+             jnp.zeros((3, 5), jnp.float32)], axis=1)       # (3, 8)
+        tab_rows = jax.lax.dot_general(
+            eye2, tabs_m[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # (3, c_pad)
+        shear_rows = tab_rows[0:2, :]
+        rho_row = tab_rows[2:3, :]
 
-        # --- mean-flow tendencies (flux @ G; lib/libprop.py:523-558) -------
+        du_rows = []
+        dv_rows = []
+        rho_rows = []
+        tile_acc = jnp.zeros((c_pad, 8), jnp.float32)
+        for j in range(T):
+            rj = r[j, :][None, :]
+            Bf = hat_full((jnp.clip(rj, g0f, hi_f) - g0f) / dz)
+            sh2 = jax.lax.dot_general(
+                shear_rows, Bf, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            du_rows.append(sh2[0, :])
+            dv_rows.append(sh2[1, :])
+            rfj = r_fin[j, :][None, :]
+            Br = hat_full((jnp.clip(rfj, g0c, hi_c) - g0c) / dz)
+            rho = jax.lax.dot_general(
+                rho_row, Br, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rho_rows.append(rho[0, :])
+
+            in_span = (col_full >= nlow[j, :][None, :]) \
+                & (col_full < nup[j, :][None, :])
+            rl = r_lo[j, :][None, :]
+            ru = r_up[j, :][None, :]
+            wmat = jnp.where(
+                in_span,
+                jnp.abs(jnp.minimum(gfhi_full_ := g0c + (col_full_f + 1.0) * dz,
+                                    ru)
+                        - jnp.maximum(g0c + col_full_f * dz, rl)),
+                0.0,
+            )                                               # (c_pad, LANE)
+            fv8 = jnp.concatenate(
+                [fvk[j, :][None, :], fvl[j, :][None, :],
+                 jnp.zeros((6, LANE), jnp.float32)], axis=0)
+            tile_acc = tile_acc + jax.lax.dot_general(
+                wmat, fv8, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (c_pad, 8)
+
+        du_s[slab, :] = jnp.stack(du_rows)
+        dv_s[slab, :] = jnp.stack(dv_rows)
+        rho_s[slab, :] = jnp.stack(rho_rows)
+        acc_ref[:] = acc_ref[:] + tile_acc
+
+    # --- tendencies + RK3 q/y updates for this tile ------------------------
+    du_t = du_s[slab, :]
+    dv_t = dv_s[slab, :]
+    rho_t = rho_s[slab, :]
+    dmm_st = -(k * du_t + l * dv_t)                         # lib/libprop.py:519
+    m_fin = m + dmm_st * dt
+    dmm_fin = area_ref[slab, :] / dr
+    omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m * m) / (kh2 + m * m))
+    cap = (
+        kappa * kappa * 0.5 * rho_t * omh * bvf * bvf
+        / (m_fin * m_fin) / (omh * omh - f0 * f0)
+    )
+    pvol = dkk_ref[slab, :] * dll_ref[slab, :] * dmm_fin
+    cap_applied = cap if faithful else cap / pvol
+    exceed = cap < dens * pvol
+    dens_st = jnp.where(exceed & amask, (cap_applied - dens) / dt, 0.0)
+    drr_st = jnp.where(amask, cgr, 0.0)
+    dmm_st = jnp.where(amask, dmm_st, 0.0)
+
+    c_coef = jnp.where(st == 1, 5.0 / 9.0,
+                       jnp.where(st == 2, 153.0 / 128.0, 0.0))
+    b_coef = jnp.where(st == 1, 15.0 / 16.0,
+                       jnp.where(st == 2, 8.0 / 15.0, 1.0))
+    first = st == 0
+
+    def upd(q_ref, y_ref, tend, y_val):
+        q_new = jnp.where(first, dt * tend,
+                          dt * tend - c_coef * q_ref[slab, :])
+        # stage 1 adds q/3 via *division*, exactly like lib/libprop.py:694
+        y_new = jnp.where(first, y_val + q_new / 3.0,
+                          y_val + b_coef * q_new)
+        q_ref[slab, :] = q_new
+        y_ref[slab, :] = y_new
+
+    upd(qd, dens_o, dens_st, dens)
+    upd(qr, r_o, drr_st, r)
+    upd(qm, m_o, dmm_st, m)
+
+    # --- stage completion: flux -> wind (last tile of the stage) -----------
+    @pl.when(tl == n_tiles - 1)
+    def _():
         if prognostic:
-            grad_u = interp2(acc[0:1, :], maps_ref[c_pad:2 * c_pad, :])
-            grad_v = interp2(acc[1:2, :], maps_ref[c_pad:2 * c_pad, :])
-            du_mean = f0 * v_row - (rows_ref[1:2, :] + grad_u) * rows_ref[3:4, :]
-            dv_mean = -f0 * u_row - (rows_ref[2:3, :] + grad_v) * rows_ref[3:4, :]
-        else:
-            du_mean = jnp.zeros((1, c_pad), jnp.float32)
-            dv_mean = jnp.zeros((1, c_pad), jnp.float32)
-
-        # --- RK3 q/y updates (lib/libprop.py:693-698) ----------------------
-        if first:
-            qd[:] = dt * dens_st
-            qr[:] = dt * drr_st
-            qm[:] = dt * dmm_st
-            quv[0:1, :] = dt * du_mean
-            quv[1:2, :] = dt * dv_mean
-            dens_o[:] = dens + qd[:] / 3.0
-            r_o[:] = r + qr[:] / 3.0
-            m_o[:] = m + qm[:] / 3.0
-            uv_o[0:1, :] = u_row + quv[0:1, :] / 3.0
-            uv_o[1:2, :] = v_row + quv[1:2, :] / 3.0
-        else:
-            qd[:] = dt * dens_st - c_coef * qd[:]
-            qr[:] = dt * drr_st - c_coef * qr[:]
-            qm[:] = dt * dmm_st - c_coef * qm[:]
-            quv[0:1, :] = dt * du_mean - c_coef * quv[0:1, :]
-            quv[1:2, :] = dt * dv_mean - c_coef * quv[1:2, :]
-            dens_o[:] = dens + b_coef * qd[:]
-            r_o[:] = r + b_coef * qr[:]
-            m_o[:] = m + b_coef * qm[:]
-            uv_o[0:1, :] = u_row + b_coef * quv[0:1, :]
-            uv_o[1:2, :] = v_row + b_coef * quv[1:2, :]
-
-    stage(0.0, None, True)
-    stage(5.0 / 9.0, 15.0 / 16.0, False)
-    stage(153.0 / 128.0, 8.0 / 15.0, False)
+            grad = jax.lax.dot_general(
+                maps_ref[c_pad:2 * c_pad, :], acc_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (c_pad, 8)
+            uvT = uv_o[:]
+            du_col = f0 * uvT[:, 1:2] \
+                - (cols_ref[:, 1:2] + grad[:, 0:1]) * cols_ref[:, 3:4]
+            dv_col = -f0 * uvT[:, 0:1] \
+                - (cols_ref[:, 2:3] + grad[:, 1:2]) * cols_ref[:, 3:4]
+            duv = jnp.concatenate(
+                [du_col, dv_col, jnp.zeros((c_pad, 6), jnp.float32)], axis=1)
+            q_new = jnp.where(first, dt * duv, dt * duv - c_coef * quv[:])
+            uv_o[:] = jnp.where(first, uvT + q_new / 3.0,
+                                uvT + b_coef * q_new)
+            quv[:] = q_new
 
 
 @functools.partial(
@@ -241,36 +344,39 @@ def _kernel(
                      "prognostic", "faithful", "interpret"),
 )
 def _megakernel_call(
-    params, maps, rows,
-    dens, r, m, u_row, v_row,
+    params, maps, cols,
+    dens, r, m, uvT,
     k, l, dr, dm, phi, dkk, dll, area, act,
     n_steps: int, n_tab: int, n_flux_cells: int,
     prognostic: bool, faithful: bool, interpret: bool,
 ):
     n_rows = r.shape[0]
+    tile_rows = TILE_ROWS if n_rows % TILE_ROWS == 0 else 8
+    n_tiles = n_rows // tile_rows
     c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
     kernel = functools.partial(
         _kernel, n_rows=n_rows, n_tab=n_tab, n_flux_cells=n_flux_cells,
-        c_pad=c_pad, prognostic=prognostic, faithful=faithful,
+        c_pad=c_pad, tile_rows=tile_rows,
+        prognostic=prognostic, faithful=faithful,
     )
-    whole = pl.BlockSpec((n_rows, LANE), lambda i: (0, 0))
-    row8 = pl.BlockSpec((8, c_pad), lambda i: (0, 0))
+    whole = pl.BlockSpec((n_rows, LANE), lambda i, s, t: (0, 0))
+    col8 = pl.BlockSpec((c_pad, 8), lambda i, s, t: (0, 0))
     outs = pl.pallas_call(
         kernel,
-        grid=(n_steps,),
+        grid=(n_steps, 3, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                # params
-            pl.BlockSpec((2 * c_pad, c_pad), lambda i: (0, 0)),   # SH ; G
-            row8,                                                 # rows table
-            whole, whole, whole, row8, row8,
+            pl.BlockSpec(memory_space=pltpu.SMEM),                   # params
+            pl.BlockSpec((2 * c_pad, c_pad), lambda i, s, t: (0, 0)),  # SH;G
+            col8,                                                    # tables
+            whole, whole, whole, col8,
             whole, whole, whole, whole, whole, whole, whole, whole, whole,
         ],
-        out_specs=(whole, whole, whole, row8),
+        out_specs=(whole, whole, whole, col8),
         out_shape=(
             jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((8, c_pad), jnp.float32),
+            jax.ShapeDtypeStruct((c_pad, 8), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((n_rows, LANE), jnp.float32),   # qd
@@ -279,13 +385,12 @@ def _megakernel_call(
             pltpu.VMEM((n_rows, LANE), jnp.float32),   # du
             pltpu.VMEM((n_rows, LANE), jnp.float32),   # dv
             pltpu.VMEM((n_rows, LANE), jnp.float32),   # rho
-            pltpu.VMEM((n_rows, LANE), jnp.float32),   # r_fin
-            pltpu.VMEM((n_rows, LANE), jnp.float32),   # fvk
-            pltpu.VMEM((n_rows, LANE), jnp.float32),   # fvl
-            pltpu.VMEM((8, c_pad), jnp.float32),       # q_u / q_v
+            pltpu.VMEM((c_pad, 8), jnp.float32),       # q_uv
+            pltpu.VMEM((c_pad, 8), jnp.float32),       # flux accumulator
+            pltpu.VMEM((c_pad, 8), jnp.float32),       # stage tables
         ],
         interpret=interpret,
-    )(params, maps, rows, dens, r, m, u_row, v_row,
+    )(params, maps, cols, dens, r, m, uvT,
       k, l, dr, dm, phi, dkk, dll, area, act)
     return outs
 
@@ -299,7 +404,7 @@ def _host_linear_map(fn, dim: int) -> np.ndarray:
 
 
 def build_operators(bg, cfg, n_tab: int, c_pad: int):
-    """Host-side static operators + row tables for the megakernel.
+    """Host-side static operators + column tables for the megakernel.
 
     ``bg`` must be concrete (it is run-constant); everything here is NumPy
     so the builder also works when called under an outer ``jit`` trace that
@@ -335,12 +440,12 @@ def build_operators(bg, cfg, n_tab: int, c_pad: int):
     pgy[:n_cell] = pg_np[1, :n_cell]
     inv_rho = np.zeros(c_pad, np.float32)
     inv_rho[:n_cell] = 1.0 / np.maximum(rho[:n_cell], 1e-30)
-    rows = np.zeros((8, c_pad), np.float32)
-    rows[0] = rho
-    rows[1] = pgx
-    rows[2] = pgy
-    rows[3] = inv_rho
-    return maps, jnp.asarray(rows)
+    cols = np.zeros((c_pad, 8), np.float32)
+    cols[:, 0] = rho
+    cols[:, 1] = pgx
+    cols[:, 2] = pgy
+    cols[:, 3] = inv_rho
+    return maps, jnp.asarray(cols)
 
 
 def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
@@ -377,7 +482,7 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
     n_tab = bg.centers.shape[0]
     n_flux_cells = n_tab - 1
     c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
-    maps, rows = build_operators(bg, cfg, n_tab, c_pad)
+    maps, cols = build_operators(bg, cfg, n_tab, c_pad)
 
     f0 = 2.0 * ROT_EARTH * np.sin(float(cfg.phi0))
     centers_np = np.asarray(bg.centers, np.float64)
@@ -396,10 +501,11 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
         x = jnp.asarray(x).astype(jnp.float32)
         return jnp.pad(x, (0, pad), constant_values=fill).reshape(-1, LANE)
 
-    def rowpad(x):
-        x = jnp.asarray(x).astype(jnp.float32)
-        out = jnp.zeros((8, c_pad), jnp.float32)
-        return out.at[0, : x.shape[0]].set(x)
+    def colpad(u, v):
+        out = jnp.zeros((c_pad, 8), jnp.float32)
+        out = out.at[: u.shape[0], 0].set(jnp.asarray(u).astype(jnp.float32))
+        out = out.at[: v.shape[0], 1].set(jnp.asarray(v).astype(jnp.float32))
+        return out
 
     statics_fields = (
         shape2(rays.k, 1e-5), shape2(rays.l), shape2(rays.dr, 1.0),
@@ -413,26 +519,24 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
     unshape = lambda x: x.reshape(-1)[:n]
 
     def chunk(carry, _):
-        dens, r, m, u_row, v_row = carry
-        dens, r, m, uv = _megakernel_call(
-            params, maps, rows, dens, r, m, u_row, v_row, *statics_fields,
+        dens, r, m, uvT = carry
+        dens, r, m, uvT = _megakernel_call(
+            params, maps, cols, dens, r, m, uvT, *statics_fields,
             n_steps=run.save_every, n_tab=n_tab, n_flux_cells=n_flux_cells,
             prognostic=bool(cfg.prognostic_mean),
             faithful=bool(cfg.faithful_saturation),
             interpret=interpret,
         )
-        u_row = jnp.pad(uv[0:1, :], ((0, 7), (0, 0)))
-        v_row = jnp.pad(uv[1:2, :], ((0, 7), (0, 0)))
-        return (dens, r, m, u_row, v_row), (dens, r, m, u_row, v_row)
+        return (dens, r, m, uvT), (dens, r, m, uvT)
 
     carry0 = (shape2(rays.dens), shape2(rays.r), shape2(rays.m, -1e-3),
-              rowpad(mean.u), rowpad(mean.v))
+              colpad(mean.u, mean.v))
     n_outer = run.n_steps // run.save_every
     carry, hist = jax.lax.scan(chunk, carry0, None, length=n_outer)
 
     n_cell = mean.u.shape[0]
 
-    def to_state(dens, r, m, u_row, v_row, like_dtype):
+    def to_state(dens, r, m, uvT, like_dtype):
         rs = RayState(
             dens=unshape(dens).astype(like_dtype),
             lam=rays.lam, phi=rays.phi,
@@ -440,15 +544,15 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
             k=rays.k, l=rays.l,
             m=unshape(m).astype(like_dtype), dm=rays.dm,
         )
-        ms = MeanState(u_row[0, :n_cell].astype(like_dtype),
-                       v_row[0, :n_cell].astype(like_dtype))
+        ms = MeanState(uvT[:n_cell, 0].astype(like_dtype),
+                       uvT[:n_cell, 1].astype(like_dtype))
         return State(rs, ms)
 
     final = to_state(*carry, rays.dens.dtype)
 
-    hd, hr, hm, hu, hv = hist
+    hd, hr, hm, huv = hist
     frames = [
-        to_state(hd[t], hr[t], hm[t], hu[t], hv[t], rays.dens.dtype)
+        to_state(hd[t], hr[t], hm[t], huv[t], rays.dens.dtype)
         for t in range(n_outer)
     ]
     if include_t0:
