@@ -7,9 +7,11 @@ Baseline: the NumPy reference measured at ~3.0e4 ray-steps/s on one CPU core
 (BASELINE.md).
 
 Flags (the driver runs the default; extra configurations for humans/CI):
-  --backend {mxu,pallas,pallasw,xla}  compute path (default mxu: dense-matmul
-                               XLA; pallasw = height-windowed fused kernel
-                               with sort_every=20 ray sorting)
+  --backend {mega,mxu,pallas,pallasw,xla}  compute path (default mega: the
+                               VMEM-resident whole-run megakernel, fastest at
+                               the 1e5 metric of record; >131072 rays falls
+                               back to pallas, the 1e6 champion; pallasw =
+                               height-windowed fused kernel)
   --accum {native,compensated,f64}  flux accumulation (mxu backend)
   --sharded                    shard_map over all visible devices
   --n-ray N / --steps N        problem size
@@ -73,8 +75,10 @@ def _setup(n_ray: int, backend: str, accum: str):
 
 
 def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
-            backend: str = "mxu", accum: str = "native",
+            backend: str = "mega", accum: str = "native",
             sharded: bool = False) -> dict:
+    if backend == "mega" and (n_ray > 131_072 or sharded):
+        backend = "pallas"          # megakernel is VMEM-resident single-chip
     cfg, bg, state, statics = _setup(n_ray, backend, accum)
     run = mt.RunConfig(dt=DT, n_steps=n_steps, save_every=n_steps)
 
@@ -132,8 +136,8 @@ def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend",
-                    choices=["mxu", "pallas", "pallasw", "mega", "xla"],
-                    default="mxu")
+                    choices=["mega", "mxu", "pallas", "pallasw", "xla"],
+                    default="mega")
     ap.add_argument("--accum", choices=["native", "compensated", "f64"],
                     default="native")
     ap.add_argument("--sharded", action="store_true")
@@ -143,7 +147,8 @@ if __name__ == "__main__":
                     help="run the backend matrix (one JSON line per entry)")
     args = ap.parse_args()
     if args.all:
-        for backend, accum in [("mxu", "native"), ("mxu", "compensated"),
+        for backend, accum in [("mega", "native"), ("mxu", "native"),
+                               ("mxu", "compensated"),
                                ("pallas", "native"), ("pallasw", "native"),
                                ("xla", "native")]:
             print(json.dumps(run_one(args.n_ray, args.steps, backend, accum)))
