@@ -51,5 +51,6 @@ from .ops import (  # noqa: F401
     uniform_interp,
     wavenumber_tendencies,
 )
+from .ops.step_pallas import simulate_resident  # noqa: F401
 
 __version__ = "0.1.0"

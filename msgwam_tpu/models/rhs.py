@@ -74,9 +74,25 @@ def rhs(
     axis_name: Optional[str] = None,
 ) -> State:
     """d(state)/dt.  ``cfg`` is jit-static; ``axis_name`` names the sharded
-    ray axis for the cross-shard flux reduction (None = single shard)."""
+    ray axis for the cross-shard flux reduction (None = single shard).
+
+    Differentiable on every backend: the pallas fused kernel carries a
+    ``custom_vjp`` whose backward pass differentiates the numerically
+    equivalent XLA path (the kernels match at f32 tolerance, so the
+    gradients are consistent to the same order)."""
     if cfg.rhs_backend == "pallas":
-        return _rhs_via_fused_kernel(dt, state, statics, bg, cfg, axis_name)
+        return _rhs_fused_diff(dt, state, statics, bg, cfg, axis_name)
+    return _rhs_xla(dt, state, statics, bg, cfg, axis_name)
+
+
+def _rhs_xla(
+    dt,
+    state: State,
+    statics: RayStatics,
+    bg: Background,
+    cfg: ModelConfig,
+    axis_name: Optional[str] = None,
+) -> State:
     rays, mean = state
     active = statics.active
 
@@ -184,6 +200,37 @@ def rhs(
     return State(ray_st, MeanState(cast(du_st, mean.u), cast(dv_st, mean.v)))
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _rhs_fused_diff(dt, state, statics, bg, cfg, axis_name):
+    """Pallas fused RHS with gradients: forward runs the hand kernel,
+    backward differentiates the equivalent XLA path (same physics, same
+    masks; the two match at f32 tolerance — tests/test_rhs_fused.py)."""
+    return _rhs_via_fused_kernel(dt, state, statics, bg, cfg, axis_name)
+
+
+def _rhs_fused_fwd(dt, state, statics, bg, cfg, axis_name):
+    out = _rhs_via_fused_kernel(dt, state, statics, bg, cfg, axis_name)
+    return out, (dt, state, statics, bg)
+
+
+def _rhs_fused_bwd(cfg, axis_name, res, g):
+    dt, state, statics, bg = res
+    xla_cfg = cfg.replace(rhs_backend="xla",
+                          projection_backend="mxu", interp_backend="mxu")
+    _, vjp = jax.vjp(
+        lambda dt_, s_, st_, bg_: _rhs_xla(dt_, s_, st_, bg_, xla_cfg,
+                                           axis_name),
+        dt, state, statics, bg,
+    )
+    return vjp(g)
+
+
+_rhs_fused_diff.defvjp(_rhs_fused_fwd, _rhs_fused_bwd)
+
+
 def _rhs_via_fused_kernel(dt, state, statics, bg, cfg, axis_name):
     """RHS through the fused pallas kernel (``ops/rhs_pallas.py``): the
     kernel returns the three active ray tendencies (hprop=False) plus the
@@ -215,8 +262,13 @@ def _rhs_via_fused_kernel(dt, state, statics, bg, cfg, axis_name):
         du_st = 0.0
         dv_st = 0.0
 
+    # structural zeros mirror the XLA path exactly (incl. dens when online
+    # saturation is off) so both backends share one output pytree structure
+    # — required for the custom_vjp backward to reuse the XLA path
+    dens_st = tend["dens"].astype(rays.dens.dtype) \
+        if cfg.saturate_online else 0.0
     ray_st = RayState(
-        dens=tend["dens"].astype(rays.dens.dtype), lam=0.0, phi=0.0,
+        dens=dens_st, lam=0.0, phi=0.0,
         r=tend["r"].astype(rays.dens.dtype), dr=0.0,
         k=0.0, l=0.0, m=tend["m"].astype(rays.dens.dtype), dm=0.0,
     )
