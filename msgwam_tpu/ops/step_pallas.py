@@ -35,10 +35,12 @@ registers, and the mean wind all resident in VMEM.  Layout lessons baked in
 * the RK3 q/y updates run tile-wise in place on VMEM refs (stage 1's
   ``y += q/3`` uses the reference's division form).
 
-Scope: ``hprop=False``, ``saturate_online=True``, float32, no
-culling/relaunch/prescribed wind inside the kernel (those run through the
-scan path).  Equivalence to the XLA path is tested at f32 tolerance over
-multi-step trajectories (tests/test_megakernel.py).
+Scope: ``hprop=False``, float32, both saturation modes (online inside the
+stages, or the reference's offline direct saturation as a 4th grid phase
+with FD rates across the step incl. quirk 2 — ``raytracer.py:182-188``),
+no culling/relaunch/prescribed wind inside the kernel (those run through
+the scan path).  Equivalence to the XLA path is tested at f32 tolerance
+over multi-step trajectories (tests/test_megakernel.py).
 """
 
 from __future__ import annotations
@@ -64,20 +66,20 @@ def _ceil_to(x: int, m: int) -> int:
 
 
 # scalar-parameter slots (float32 SMEM)
-(_G0C, _DZ, _G0F, _DT, _BVF, _KAPPA, _F0, _NPAR) = range(8)
+(_G0C, _DZ, _G0F, _DT, _BVF, _KAPPA, _F0, _RDIV) = range(8)
 
 
 def _kernel(
     params_ref, maps_ref, cols_ref,
     dens_in, r_in, m_in, uv_in,
     k_ref, l_ref, dr_ref, dm_ref, phi_ref, dkk_ref, dll_ref, area_ref, act_ref,
-    dens_o, r_o, m_o, uv_o,
-    qd, qr, qm, du_s, dv_s, rho_s, quv, acc_ref, tabs_m,
+    dens_o, r_o, m_o, uv_o, dens_pp,
+    qd, qr, qm, du_s, dv_s, rho_s, quv, acc_ref, tabs_m, r_prev, m_prev,
     *, n_rows: int, n_tab: int, n_flux_cells: int, c_pad: int,
-    tile_rows: int, prognostic: bool, faithful: bool,
+    tile_rows: int, online: bool, prognostic: bool, faithful: bool,
 ):
     step = pl.program_id(0)
-    st = pl.program_id(1)
+    st = pl.program_id(1)            # 0-2: RK3 stages; 3 (offline): saturation
     tl = pl.program_id(2)
     n_tiles = pl.num_programs(2)
 
@@ -99,7 +101,7 @@ def _kernel(
         uv_o[:] = uv_in[:]
 
     # --- per-stage setup (before any tile of this stage) -------------------
-    @pl.when(tl == 0)
+    @pl.when((tl == 0) & (st < 3))
     def _():
         sh_cols = jax.lax.dot_general(
             maps_ref[0:c_pad, :], uv_o[:],
@@ -125,230 +127,346 @@ def _kernel(
     base = tl * T
     slab = pl.ds(base, T)
 
-    dens = dens_o[slab, :]
-    r = r_o[slab, :]
-    m = m_o[slab, :]
-    k = k_ref[slab, :]
-    l = l_ref[slab, :]
-    dr = dr_ref[slab, :]
-    phi = phi_ref[slab, :]
-    act = act_ref[slab, :]
-    amask = act > 0
+    def _stage_tile():
 
-    ff2 = (2.0 * ROT_EARTH) * (2.0 * ROT_EARTH) * jnp.sin(phi) * jnp.sin(phi)
-    kh2 = k * k + l * l
-    pv = jnp.abs(dkk_ref[slab, :] * dll_ref[slab, :] * dm_ref[slab, :])
-    om = jnp.sqrt((bvf * bvf * kh2 + ff2 * m * m) / (kh2 + m * m))
-    cgr = -m * (om * om - ff2) / om / (kh2 + m * m)
-    r_fin = r + cgr * dt
-    fv = cgr * dens / dz
-    r_lo = r - 0.5 * dr
-    r_up = r + 0.5 * dr
-    nlow = (r_lo / dz).astype(jnp.int32)
-    nup = (r_up / dz + 1.0).astype(jnp.int32)
-    ood = ((nlow >= nzmax_i) & (nup >= nzmax_i)) | ((nlow <= 0) & (nup <= 0))
-    live = amask & ~ood
-    fvk = jnp.where(live, fv * k * pv, 0.0)
-    fvl = jnp.where(live, fv * l * pv, 0.0)
-    nlow = jnp.clip(nlow, 0, nzmax_i)
-    nup = jnp.clip(nup, 0, nzmax_i)
+        dens = dens_o[slab, :]
+        r = r_o[slab, :]
+        m = m_o[slab, :]
+        k = k_ref[slab, :]
+        l = l_ref[slab, :]
+        dr = dr_ref[slab, :]
+        phi = phi_ref[slab, :]
+        act = act_ref[slab, :]
+        amask = act > 0
 
-    # --- per-tile window from the tile's own touched-cell bounds -----------
-    qf_t = (jnp.clip(r, g0f, hi_f) - g0f) / dz
-    qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) / dz
-    lo_t = jnp.minimum(jnp.minimum(jnp.floor(qf_t), jnp.floor(qr_t)) - 1.0,
-                       nlow.astype(jnp.float32))
-    hi_t = jnp.maximum(jnp.maximum(jnp.floor(qf_t), jnp.floor(qr_t)) + 2.0,
-                       nup.astype(jnp.float32))
-    lo_t = jnp.where(amask, lo_t, 1e9)
-    hi_t = jnp.where(amask, hi_t, -1e9)
-    win = jnp.clip((jnp.min(lo_t).astype(jnp.int32) // 8) * 8, 0, c_pad - W)
-    winf = win.astype(jnp.float32)
-    ok = jnp.max(hi_t) - winf <= W
+        ff2 = (2.0 * ROT_EARTH) * (2.0 * ROT_EARTH) * jnp.sin(phi) * jnp.sin(phi)
+        kh2 = k * k + l * l
+        pv = jnp.abs(dkk_ref[slab, :] * dll_ref[slab, :] * dm_ref[slab, :])
+        om = jnp.sqrt((bvf * bvf * kh2 + ff2 * m * m) / (kh2 + m * m))
+        cgr = -m * (om * om - ff2) / om / (kh2 + m * m)
+        r_fin = r + cgr * dt
+        fv = cgr * dens / dz
+        r_lo = r - 0.5 * dr
+        r_up = r + 0.5 * dr
+        nlow = (r_lo / dz).astype(jnp.int32)
+        nup = (r_up / dz + 1.0).astype(jnp.int32)
+        ood = ((nlow >= nzmax_i) & (nup >= nzmax_i)) | ((nlow <= 0) & (nup <= 0))
+        live = amask & ~ood
+        fvk = jnp.where(live, fv * k * pv, 0.0)
+        fvl = jnp.where(live, fv * l * pv, 0.0)
+        nlow = jnp.clip(nlow, 0, nzmax_i)
+        nup = jnp.clip(nup, 0, nzmax_i)
 
-    def hat_win(q):
-        return jnp.maximum(0.0, 1.0 - jnp.abs(q - winf - col_win))
+        # --- per-tile window from the tile's own touched-cell bounds -----------
+        qf_t = (jnp.clip(r, g0f, hi_f) - g0f) / dz
+        qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) / dz
+        lo_t = jnp.minimum(jnp.minimum(jnp.floor(qf_t), jnp.floor(qr_t)) - 1.0,
+                           nlow.astype(jnp.float32))
+        hi_t = jnp.maximum(jnp.maximum(jnp.floor(qf_t), jnp.floor(qr_t)) + 2.0,
+                           nup.astype(jnp.float32))
+        lo_t = jnp.where(amask, lo_t, 1e9)
+        hi_t = jnp.where(amask, hi_t, -1e9)
+        win = jnp.clip((jnp.min(lo_t).astype(jnp.int32) // 8) * 8, 0, c_pad - W)
+        winf = win.astype(jnp.float32)
+        ok = jnp.max(hi_t) - winf <= W
 
-    def hat_full(q):
-        return jnp.maximum(0.0, 1.0 - jnp.abs(q - col_full_f))
+        def hat_win(q):
+            return jnp.maximum(0.0, 1.0 - jnp.abs(q - winf - col_win))
 
-    @pl.when(ok)
-    def _windowed():
-        tabw = tabs_m[pl.ds(win, W), :]                     # (W, 8)
-        tab_du = tabw[:, 0:1]
-        tab_dv = tabw[:, 1:2]
-        tab_rho = tabw[:, 2:3]
-        gflo = g0c + (winf + col_win) * dz
-        gfhi = gflo + dz
-        colw = col_win_i + win
+        def hat_full(q):
+            return jnp.maximum(0.0, 1.0 - jnp.abs(q - col_full_f))
 
-        du_rows = []
-        dv_rows = []
-        rho_rows = []
-        tile_acc = jnp.zeros((W, 8), jnp.float32)
-        for j in range(T):
-            rj = r[j, :][None, :]
-            Bf = hat_win((jnp.clip(rj, g0f, hi_f) - g0f) / dz)
-            du_rows.append(jnp.sum(tab_du * Bf, axis=0))
-            dv_rows.append(jnp.sum(tab_dv * Bf, axis=0))
-            rfj = r_fin[j, :][None, :]
-            Br = hat_win((jnp.clip(rfj, g0c, hi_c) - g0c) / dz)
-            rho_rows.append(jnp.sum(tab_rho * Br, axis=0))
+        @pl.when(ok)
+        def _windowed():
+            tabw = tabs_m[pl.ds(win, W), :]                     # (W, 8)
+            tab_du = tabw[:, 0:1]
+            tab_dv = tabw[:, 1:2]
+            tab_rho = tabw[:, 2:3]
+            gflo = g0c + (winf + col_win) * dz
+            gfhi = gflo + dz
+            colw = col_win_i + win
 
-            in_span = (colw >= nlow[j, :][None, :]) \
-                & (colw < nup[j, :][None, :])
-            rl = r_lo[j, :][None, :]
-            ru = r_up[j, :][None, :]
-            wmat = jnp.where(
-                in_span,
-                jnp.abs(jnp.minimum(gfhi, ru) - jnp.maximum(gflo, rl)),
-                0.0,
-            )                                               # (W, LANE)
-            fv8 = jnp.concatenate(
-                [fvk[j, :][None, :], fvl[j, :][None, :],
-                 jnp.zeros((6, LANE), jnp.float32)], axis=0)
-            tile_acc = tile_acc + jax.lax.dot_general(
-                wmat, fv8, dimension_numbers=(((1,), (1,)), ((), ())),
+            du_rows = []
+            dv_rows = []
+            rho_rows = []
+            tile_acc = jnp.zeros((W, 8), jnp.float32)
+            for j in range(T):
+                rj = r[j, :][None, :]
+                Bf = hat_win((jnp.clip(rj, g0f, hi_f) - g0f) / dz)
+                du_rows.append(jnp.sum(tab_du * Bf, axis=0))
+                dv_rows.append(jnp.sum(tab_dv * Bf, axis=0))
+                if online:          # in-stage ρ̄ only for online saturation
+                    rfj = r_fin[j, :][None, :]
+                    Br = hat_win((jnp.clip(rfj, g0c, hi_c) - g0c) / dz)
+                    rho_rows.append(jnp.sum(tab_rho * Br, axis=0))
+
+                in_span = (colw >= nlow[j, :][None, :]) \
+                    & (colw < nup[j, :][None, :])
+                rl = r_lo[j, :][None, :]
+                ru = r_up[j, :][None, :]
+                wmat = jnp.where(
+                    in_span,
+                    jnp.abs(jnp.minimum(gfhi, ru) - jnp.maximum(gflo, rl)),
+                    0.0,
+                )                                               # (W, LANE)
+                fv8 = jnp.concatenate(
+                    [fvk[j, :][None, :], fvl[j, :][None, :],
+                     jnp.zeros((6, LANE), jnp.float32)], axis=0)
+                tile_acc = tile_acc + jax.lax.dot_general(
+                    wmat, fv8, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                               # (W, 8)
+
+            du_s[slab, :] = jnp.stack(du_rows)
+            dv_s[slab, :] = jnp.stack(dv_rows)
+            if online:
+                rho_s[slab, :] = jnp.stack(rho_rows)
+            aw = pl.ds(win, W)
+            acc_ref[aw, :] = acc_ref[aw, :] + tile_acc
+
+        @pl.when(~ok)
+        def _full():
+            # exact fallback: full-width bases/weights (row form of the stage
+            # tables via one small transposing contraction)
+            eye2 = jnp.concatenate(
+                [jnp.eye(3, dtype=jnp.float32),
+                 jnp.zeros((3, 5), jnp.float32)], axis=1)       # (3, 8)
+            tab_rows = jax.lax.dot_general(
+                eye2, tabs_m[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )                                               # (W, 8)
+            )                                                   # (3, c_pad)
+            shear_rows = tab_rows[0:2, :]
+            rho_row = tab_rows[2:3, :]
 
-        du_s[slab, :] = jnp.stack(du_rows)
-        dv_s[slab, :] = jnp.stack(dv_rows)
-        rho_s[slab, :] = jnp.stack(rho_rows)
-        aw = pl.ds(win, W)
-        acc_ref[aw, :] = acc_ref[aw, :] + tile_acc
+            du_rows = []
+            dv_rows = []
+            rho_rows = []
+            tile_acc = jnp.zeros((c_pad, 8), jnp.float32)
+            for j in range(T):
+                rj = r[j, :][None, :]
+                Bf = hat_full((jnp.clip(rj, g0f, hi_f) - g0f) / dz)
+                sh2 = jax.lax.dot_general(
+                    shear_rows, Bf, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                du_rows.append(sh2[0, :])
+                dv_rows.append(sh2[1, :])
+                if online:
+                    rfj = r_fin[j, :][None, :]
+                    Br = hat_full((jnp.clip(rfj, g0c, hi_c) - g0c) / dz)
+                    rho = jax.lax.dot_general(
+                        rho_row, Br,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    rho_rows.append(rho[0, :])
 
-    @pl.when(~ok)
-    def _full():
-        # exact fallback: full-width bases/weights (row form of the stage
-        # tables via one small transposing contraction)
-        eye2 = jnp.concatenate(
-            [jnp.eye(3, dtype=jnp.float32),
-             jnp.zeros((3, 5), jnp.float32)], axis=1)       # (3, 8)
-        tab_rows = jax.lax.dot_general(
-            eye2, tabs_m[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                   # (3, c_pad)
-        shear_rows = tab_rows[0:2, :]
-        rho_row = tab_rows[2:3, :]
+                in_span = (col_full >= nlow[j, :][None, :]) \
+                    & (col_full < nup[j, :][None, :])
+                rl = r_lo[j, :][None, :]
+                ru = r_up[j, :][None, :]
+                wmat = jnp.where(
+                    in_span,
+                    jnp.abs(jnp.minimum(gfhi_full_ := g0c + (col_full_f + 1.0) * dz,
+                                        ru)
+                            - jnp.maximum(g0c + col_full_f * dz, rl)),
+                    0.0,
+                )                                               # (c_pad, LANE)
+                fv8 = jnp.concatenate(
+                    [fvk[j, :][None, :], fvl[j, :][None, :],
+                     jnp.zeros((6, LANE), jnp.float32)], axis=0)
+                tile_acc = tile_acc + jax.lax.dot_general(
+                    wmat, fv8, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                               # (c_pad, 8)
 
-        du_rows = []
-        dv_rows = []
-        rho_rows = []
-        tile_acc = jnp.zeros((c_pad, 8), jnp.float32)
-        for j in range(T):
-            rj = r[j, :][None, :]
-            Bf = hat_full((jnp.clip(rj, g0f, hi_f) - g0f) / dz)
-            sh2 = jax.lax.dot_general(
-                shear_rows, Bf, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            du_s[slab, :] = jnp.stack(du_rows)
+            dv_s[slab, :] = jnp.stack(dv_rows)
+            if online:
+                rho_s[slab, :] = jnp.stack(rho_rows)
+            acc_ref[:] = acc_ref[:] + tile_acc
+
+        # --- tendencies + RK3 q/y updates for this tile ------------------------
+        du_t = du_s[slab, :]
+        dv_t = dv_s[slab, :]
+        dmm_st = -(k * du_t + l * dv_t)                         # lib/libprop.py:519
+        if online:
+            rho_t = rho_s[slab, :]
+            m_fin = m + dmm_st * dt
+            dmm_fin = area_ref[slab, :] / dr
+            omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m * m) / (kh2 + m * m))
+            cap = (
+                kappa * kappa * 0.5 * rho_t * omh * bvf * bvf
+                / (m_fin * m_fin) / (omh * omh - f0 * f0)
             )
-            du_rows.append(sh2[0, :])
-            dv_rows.append(sh2[1, :])
-            rfj = r_fin[j, :][None, :]
-            Br = hat_full((jnp.clip(rfj, g0c, hi_c) - g0c) / dz)
-            rho = jax.lax.dot_general(
-                rho_row, Br, dimension_numbers=(((1,), (0,)), ((), ())),
+            pvol = dkk_ref[slab, :] * dll_ref[slab, :] * dmm_fin
+            cap_applied = cap if faithful else cap / pvol
+            exceed = cap < dens * pvol
+            dens_st = jnp.where(exceed & amask, (cap_applied - dens) / dt, 0.0)
+        else:
+            dens_st = jnp.zeros_like(dens)
+        drr_st = jnp.where(amask, cgr, 0.0)
+        dmm_st = jnp.where(amask, dmm_st, 0.0)
+
+        c_coef = jnp.where(st == 1, 5.0 / 9.0,
+                           jnp.where(st == 2, 153.0 / 128.0, 0.0))
+        b_coef = jnp.where(st == 1, 15.0 / 16.0,
+                           jnp.where(st == 2, 8.0 / 15.0, 1.0))
+        first = st == 0
+
+        def upd(q_ref, y_ref, tend, y_val):
+            q_new = jnp.where(first, dt * tend,
+                              dt * tend - c_coef * q_ref[slab, :])
+            # stage 1 adds q/3 via *division*, exactly like lib/libprop.py:694
+            y_new = jnp.where(first, y_val + q_new / 3.0,
+                              y_val + b_coef * q_new)
+            q_ref[slab, :] = q_new
+            y_ref[slab, :] = y_new
+
+        upd(qd, dens_o, dens_st, dens)
+        upd(qr, r_o, drr_st, r)
+        upd(qm, m_o, dmm_st, m)
+
+        # --- stage completion: flux -> wind (last tile of the stage) -----------
+        @pl.when(tl == n_tiles - 1)
+        def _():
+            if prognostic:
+                grad = jax.lax.dot_general(
+                    maps_ref[c_pad:2 * c_pad, :], acc_ref[:],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                               # (c_pad, 8)
+                uvT = uv_o[:]
+                du_col = f0 * uvT[:, 1:2] \
+                    - (cols_ref[:, 1:2] + grad[:, 0:1]) * cols_ref[:, 3:4]
+                dv_col = -f0 * uvT[:, 0:1] \
+                    - (cols_ref[:, 2:3] + grad[:, 1:2]) * cols_ref[:, 3:4]
+                duv = jnp.concatenate(
+                    [du_col, dv_col, jnp.zeros((c_pad, 6), jnp.float32)], axis=1)
+                q_new = jnp.where(first, dt * duv, dt * duv - c_coef * quv[:])
+                uv_o[:] = jnp.where(first, uvT + q_new / 3.0,
+                                    uvT + b_coef * q_new)
+                quv[:] = q_new
+
+    def _offline_saturation_tile():
+        # driver-side direct saturation with FD rates across the completed
+        # step (raytracer.py:182-188 -> lib/libprop.py:561-610), including
+        # quirk 2 (the height rate divided by RDIV=1 in faithful mode)
+        rdiv = params_ref[_RDIV]
+        r_p = r_prev[slab, :]
+        m_p = m_prev[slab, :]
+        r_n = r_o[slab, :]
+        m_n = m_o[slab, :]
+        dens_n = dens_o[slab, :]
+        dens_pp[slab, :] = dens_n                  # propagated (pre-sat)
+        k = k_ref[slab, :]
+        l = l_ref[slab, :]
+        dr = dr_ref[slab, :]
+        act = act_ref[slab, :]
+        amask = act > 0
+
+        r_rate = (r_n - r_p) / rdiv
+        m_rate = (m_n - m_p) / dt
+        r_fin = r_p + r_rate * dt                  # lib/libprop.py:591
+        m_fin = m_p + m_rate * dt
+        dmm_fin = area_ref[slab, :] / dr           # dr rate is exactly 0
+
+        # ρ̄ at the extrapolated height: per-tile window, full-width fallback
+        qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) / dz
+        lo_t = jnp.where(amask, jnp.floor(qr_t) - 1.0, 1e9)
+        hi_t = jnp.where(amask, jnp.floor(qr_t) + 2.0, -1e9)
+        win = jnp.clip((jnp.min(lo_t).astype(jnp.int32) // 8) * 8,
+                       0, c_pad - W)
+        winf = win.astype(jnp.float32)
+        ok = jnp.max(hi_t) - winf <= W
+
+        @pl.when(ok)
+        def _win():
+            tab_rho = tabs_m[pl.ds(win, W), 2:3]
+            rows = []
+            for j in range(T):
+                rfj = r_fin[j, :][None, :]
+                Br = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(
+                        (jnp.clip(rfj, g0c, hi_c) - g0c) / dz
+                        - winf - col_win))
+                rows.append(jnp.sum(tab_rho * Br, axis=0))
+            rho_s[slab, :] = jnp.stack(rows)
+
+        @pl.when(~ok)
+        def _fullw():
+            rho_row = jax.lax.dot_general(
+                jnp.concatenate([jnp.zeros((1, 2), jnp.float32),
+                                 jnp.ones((1, 1), jnp.float32),
+                                 jnp.zeros((1, 5), jnp.float32)], axis=1),
+                tabs_m[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
-            rho_rows.append(rho[0, :])
+            )                                      # (1, c_pad)
+            rows = []
+            for j in range(T):
+                rfj = r_fin[j, :][None, :]
+                Br = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(
+                        (jnp.clip(rfj, g0c, hi_c) - g0c) / dz - col_full_f))
+                rho = jax.lax.dot_general(
+                    rho_row, Br,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                rows.append(rho[0, :])
+            rho_s[slab, :] = jnp.stack(rows)
 
-            in_span = (col_full >= nlow[j, :][None, :]) \
-                & (col_full < nup[j, :][None, :])
-            rl = r_lo[j, :][None, :]
-            ru = r_up[j, :][None, :]
-            wmat = jnp.where(
-                in_span,
-                jnp.abs(jnp.minimum(gfhi_full_ := g0c + (col_full_f + 1.0) * dz,
-                                    ru)
-                        - jnp.maximum(g0c + col_full_f * dz, rl)),
-                0.0,
-            )                                               # (c_pad, LANE)
-            fv8 = jnp.concatenate(
-                [fvk[j, :][None, :], fvl[j, :][None, :],
-                 jnp.zeros((6, LANE), jnp.float32)], axis=0)
-            tile_acc = tile_acc + jax.lax.dot_general(
-                wmat, fv8, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                               # (c_pad, 8)
+        rho_t = rho_s[slab, :]
+        kh2 = k * k + l * l
+        omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m_p * m_p)
+                       / (kh2 + m_p * m_p))        # pre-step m, phi0
+        cap = (
+            kappa * kappa * 0.5 * rho_t * omh * bvf * bvf
+            / (m_fin * m_fin) / (omh * omh - f0 * f0)
+        )
+        pvol = dkk_ref[slab, :] * dll_ref[slab, :] * dmm_fin
+        cap_applied = cap if faithful else cap / pvol
+        exceed = (cap < dens_n * pvol) & amask
+        dens_o[slab, :] = jnp.where(exceed, cap_applied, dens_n)
 
-        du_s[slab, :] = jnp.stack(du_rows)
-        dv_s[slab, :] = jnp.stack(dv_rows)
-        rho_s[slab, :] = jnp.stack(rho_rows)
-        acc_ref[:] = acc_ref[:] + tile_acc
+    if online:
+        _stage_tile()
 
-    # --- tendencies + RK3 q/y updates for this tile ------------------------
-    du_t = du_s[slab, :]
-    dv_t = dv_s[slab, :]
-    rho_t = rho_s[slab, :]
-    dmm_st = -(k * du_t + l * dv_t)                         # lib/libprop.py:519
-    m_fin = m + dmm_st * dt
-    dmm_fin = area_ref[slab, :] / dr
-    omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m * m) / (kh2 + m * m))
-    cap = (
-        kappa * kappa * 0.5 * rho_t * omh * bvf * bvf
-        / (m_fin * m_fin) / (omh * omh - f0 * f0)
-    )
-    pvol = dkk_ref[slab, :] * dll_ref[slab, :] * dmm_fin
-    cap_applied = cap if faithful else cap / pvol
-    exceed = cap < dens * pvol
-    dens_st = jnp.where(exceed & amask, (cap_applied - dens) / dt, 0.0)
-    drr_st = jnp.where(amask, cgr, 0.0)
-    dmm_st = jnp.where(amask, dmm_st, 0.0)
+        @pl.when(st == 2)
+        def _():
+            dens_pp[slab, :] = dens_o[slab, :]     # dens_prop ≡ dens online
+    else:
+        # offline mode: st 0-2 are the RK3 stages, st 3 the driver-side
+        # direct saturation of raytracer.py:182-188
 
-    c_coef = jnp.where(st == 1, 5.0 / 9.0,
-                       jnp.where(st == 2, 153.0 / 128.0, 0.0))
-    b_coef = jnp.where(st == 1, 15.0 / 16.0,
-                       jnp.where(st == 2, 8.0 / 15.0, 1.0))
-    first = st == 0
+        @pl.when(st == 0)
+        def _():
+            # pre-step state for the finite-difference rates — saved BEFORE
+            # stage 1 updates y in place
+            r_prev[slab, :] = r_o[slab, :]
+            m_prev[slab, :] = m_o[slab, :]
 
-    def upd(q_ref, y_ref, tend, y_val):
-        q_new = jnp.where(first, dt * tend,
-                          dt * tend - c_coef * q_ref[slab, :])
-        # stage 1 adds q/3 via *division*, exactly like lib/libprop.py:694
-        y_new = jnp.where(first, y_val + q_new / 3.0,
-                          y_val + b_coef * q_new)
-        q_ref[slab, :] = q_new
-        y_ref[slab, :] = y_new
+        pl.when(st < 3)(_stage_tile)
 
-    upd(qd, dens_o, dens_st, dens)
-    upd(qr, r_o, drr_st, r)
-    upd(qm, m_o, dmm_st, m)
+        @pl.when(st == 3)
+        def _():
+            _offline_saturation_tile()
 
-    # --- stage completion: flux -> wind (last tile of the stage) -----------
-    @pl.when(tl == n_tiles - 1)
-    def _():
-        if prognostic:
-            grad = jax.lax.dot_general(
-                maps_ref[c_pad:2 * c_pad, :], acc_ref[:],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                               # (c_pad, 8)
-            uvT = uv_o[:]
-            du_col = f0 * uvT[:, 1:2] \
-                - (cols_ref[:, 1:2] + grad[:, 0:1]) * cols_ref[:, 3:4]
-            dv_col = -f0 * uvT[:, 0:1] \
-                - (cols_ref[:, 2:3] + grad[:, 1:2]) * cols_ref[:, 3:4]
-            duv = jnp.concatenate(
-                [du_col, dv_col, jnp.zeros((c_pad, 6), jnp.float32)], axis=1)
-            q_new = jnp.where(first, dt * duv, dt * duv - c_coef * quv[:])
-            uv_o[:] = jnp.where(first, uvT + q_new / 3.0,
-                                uvT + b_coef * q_new)
-            quv[:] = q_new
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "n_tab", "n_flux_cells",
-                     "prognostic", "faithful", "interpret"),
+                     "online", "prognostic", "faithful", "interpret"),
 )
 def _megakernel_call(
     params, maps, cols,
     dens, r, m, uvT,
     k, l, dr, dm, phi, dkk, dll, area, act,
     n_steps: int, n_tab: int, n_flux_cells: int,
-    prognostic: bool, faithful: bool, interpret: bool,
+    online: bool, prognostic: bool, faithful: bool, interpret: bool,
 ):
     n_rows = r.shape[0]
     tile_rows = TILE_ROWS if n_rows % TILE_ROWS == 0 else 8
@@ -356,14 +474,15 @@ def _megakernel_call(
     c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
     kernel = functools.partial(
         _kernel, n_rows=n_rows, n_tab=n_tab, n_flux_cells=n_flux_cells,
-        c_pad=c_pad, tile_rows=tile_rows,
+        c_pad=c_pad, tile_rows=tile_rows, online=online,
         prognostic=prognostic, faithful=faithful,
     )
     whole = pl.BlockSpec((n_rows, LANE), lambda i, s, t: (0, 0))
     col8 = pl.BlockSpec((c_pad, 8), lambda i, s, t: (0, 0))
+    big = lambda: pltpu.VMEM((n_rows, LANE), jnp.float32)
     outs = pl.pallas_call(
         kernel,
-        grid=(n_steps, 3, n_tiles),
+        grid=(n_steps, 3 if online else 4, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                   # params
             pl.BlockSpec((2 * c_pad, c_pad), lambda i, s, t: (0, 0)),  # SH;G
@@ -371,23 +490,26 @@ def _megakernel_call(
             whole, whole, whole, col8,
             whole, whole, whole, whole, whole, whole, whole, whole, whole,
         ],
-        out_specs=(whole, whole, whole, col8),
+        out_specs=(whole, whole, whole, col8, whole),
         out_shape=(
             jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32),
             jax.ShapeDtypeStruct((c_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32),  # dens_prop
         ),
         scratch_shapes=[
-            pltpu.VMEM((n_rows, LANE), jnp.float32),   # qd
-            pltpu.VMEM((n_rows, LANE), jnp.float32),   # qr
-            pltpu.VMEM((n_rows, LANE), jnp.float32),   # qm
-            pltpu.VMEM((n_rows, LANE), jnp.float32),   # du
-            pltpu.VMEM((n_rows, LANE), jnp.float32),   # dv
-            pltpu.VMEM((n_rows, LANE), jnp.float32),   # rho
+            big(),                                     # qd
+            big(),                                     # qr
+            big(),                                     # qm
+            big(),                                     # du
+            big(),                                     # dv
+            big(),                                     # rho
             pltpu.VMEM((c_pad, 8), jnp.float32),       # q_uv
             pltpu.VMEM((c_pad, 8), jnp.float32),       # flux accumulator
             pltpu.VMEM((c_pad, 8), jnp.float32),       # stage tables
+            big(),                                     # r_prev (offline FD)
+            big(),                                     # m_prev (offline FD)
         ],
         interpret=interpret,
     )(params, maps, cols, dens, r, m, uvT,
@@ -455,18 +577,29 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
 
     Returns ``(final_state, statics, history)`` where history is the default
     observable ``(State, active, dens_prop)`` stacked per save point —
-    matching ``simulate``'s default history for the supported configuration
-    (online saturation ⇒ dens_prop ≡ dens).  Constant-by-structure ray
-    fields (lam, phi, dr, k, l, dm) are broadcast from the initial state.
+    matching ``simulate``'s default history framing.  Constant-by-structure
+    ray fields (lam, phi, dr, k, l, dm) are broadcast from the initial
+    state.
 
-    Requires ``hprop=False``, ``saturate_online=True``, f32 state, capacity
-    ≤ 131,072 rays.  For anything else use :func:`msgwam_tpu.simulate`.
+    Both saturation modes are supported in-kernel: online (inside each RK3
+    stage) and the reference's offline direct saturation with FD rates
+    across the step (``raytracer.py:182-188``, incl. quirk 2 via
+    ``cfg.faithful_offline_rates``), which runs as a 4th grid phase per
+    step; ``dens_prop`` then carries the pre-saturation density exactly
+    like the scan path's aux channel.
+
+    Requires ``hprop=False``, f32 state, capacity ≤ 131,072 rays, no
+    culling/relaunch/prescribed wind.  For anything else use
+    :func:`msgwam_tpu.simulate`.
     """
     from ..state import RayState, MeanState, State
 
-    if cfg.hprop or not cfg.saturate_online:
+    if cfg.hprop:
+        raise ValueError("simulate_resident requires hprop=False")
+    if cfg.cull or cfg.relaunch:
         raise ValueError(
-            "simulate_resident requires hprop=False, saturate_online=True"
+            "simulate_resident does not support culling/relaunch; "
+            "use simulate()"
         )
     if run.n_steps % run.save_every:
         raise ValueError("n_steps must be divisible by save_every")
@@ -488,10 +621,11 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
     centers_np = np.asarray(bg.centers, np.float64)
     faces_np = np.asarray(bg.faces, np.float64)
     dz = np.float32(centers_np[1] - centers_np[0])
+    rdiv = 1.0 if cfg.faithful_offline_rates else float(run.dt)
     params = jnp.asarray(np.array([
         np.float32(centers_np[0]), dz, np.float32(faces_np[1]),
         np.float32(run.dt), np.float32(cfg.bvf), np.float32(cfg.kappa),
-        np.float32(f0), 0.0,
+        np.float32(f0), np.float32(rdiv),
     ], dtype=np.float32))
 
     n_pad = _ceil_to(max(n, 8 * LANE), 8 * LANE)
@@ -520,14 +654,15 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
 
     def chunk(carry, _):
         dens, r, m, uvT = carry
-        dens, r, m, uvT = _megakernel_call(
+        dens, r, m, uvT, dens_prop = _megakernel_call(
             params, maps, cols, dens, r, m, uvT, *statics_fields,
             n_steps=run.save_every, n_tab=n_tab, n_flux_cells=n_flux_cells,
+            online=bool(cfg.saturate_online),
             prognostic=bool(cfg.prognostic_mean),
             faithful=bool(cfg.faithful_saturation),
             interpret=interpret,
         )
-        return (dens, r, m, uvT), (dens, r, m, uvT)
+        return (dens, r, m, uvT), (dens, r, m, uvT, dens_prop)
 
     carry0 = (shape2(rays.dens), shape2(rays.r), shape2(rays.m, -1e-3),
               colpad(mean.u, mean.v))
@@ -550,16 +685,20 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
 
     final = to_state(*carry, rays.dens.dtype)
 
-    hd, hr, hm, huv = hist
+    hd, hr, hm, huv, hpp = hist
     frames = [
         to_state(hd[t], hr[t], hm[t], huv[t], rays.dens.dtype)
         for t in range(n_outer)
     ]
+    prop_frames = [
+        unshape(hpp[t]).astype(rays.dens.dtype) for t in range(n_outer)
+    ]
     if include_t0:
         frames = [state] + frames
+        prop_frames = [state.rays.dens] + prop_frames
     history_state = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
     active_hist = jnp.broadcast_to(
         statics.active, (len(frames),) + statics.active.shape
     )
-    history = (history_state, active_hist, history_state.rays.dens)
+    history = (history_state, active_hist, jnp.stack(prop_frames))
     return final, statics, history

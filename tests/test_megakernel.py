@@ -69,12 +69,47 @@ def test_megakernel_include_t0_and_jit():
         np.asarray(hist_state.rays.r[0]), np.asarray(state.rays.r))
 
 
+def test_megakernel_offline_saturation_matches_scan_path():
+    """The reference's default mode — offline direct saturation with FD
+    rates across the step (incl. quirk 2) — runs as a 4th in-kernel grid
+    phase and matches the scan path, for both faithful_offline_rates
+    settings; dens_prop carries the pre-saturation density."""
+    cfg, bg, state, statics = _setup()
+    # amplify so the cap actually clamps within the short run
+    state = state._replace(
+        rays=state.rays._replace(dens=state.rays.dens * 50.0))
+    run = mt.RunConfig(dt=120.0, n_steps=9, save_every=3)
+    for faithful_rates in (True, False):
+        c = cfg.replace(saturate_online=False,
+                        faithful_offline_rates=faithful_rates)
+        a, _, ha = mt.simulate(state, statics, bg, c, run)
+        b, _, hb = simulate_resident(state, statics, bg, c, run)
+        assert _rel(a.rays.dens, b.rays.dens) < 3e-5, faithful_rates
+        assert _rel(a.rays.r, b.rays.r) < 3e-5
+        assert _rel(a.mean.u, b.mean.u) < 3e-5
+        # dens_prop (pre-saturation) matches the scan path's aux channel
+        _, _, prop_a = ha
+        _, _, prop_b = hb
+        assert _rel(prop_a, prop_b) < 3e-5
+
+    # the in-kernel clamp actually fires: an effectively-uncapped run
+    # (kappa huge) ends with different densities
+    c = cfg.replace(saturate_online=False)
+    b, _, _ = simulate_resident(state, statics, bg, c, run)
+    b_nocap, _, _ = simulate_resident(
+        state, statics, bg, c.replace(kappa=1e9), run)
+    assert np.any(np.asarray(b.rays.dens) != np.asarray(b_nocap.rays.dens))
+
+
 def test_megakernel_guard_rails():
     cfg, bg, state, statics = _setup(n=300, pad_to=512)
     run = mt.RunConfig(dt=120.0, n_steps=4, save_every=2)
     with pytest.raises(ValueError, match="hprop"):
         simulate_resident(state, statics, bg,
-                          cfg.replace(saturate_online=False), run)
+                          cfg.replace(hprop=True), run)
+    with pytest.raises(ValueError, match="culling"):
+        simulate_resident(state, statics, bg,
+                          cfg.replace(cull=True), run)
     with pytest.raises(ValueError, match="VMEM-resident"):
         rays, st2 = mt.pad_rays(state.rays, statics, 262144)
         simulate_resident(mt.State(rays, state.mean), st2, bg, cfg, run)
