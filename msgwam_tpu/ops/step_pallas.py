@@ -628,12 +628,24 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
         np.float32(f0), np.float32(rdiv),
     ], dtype=np.float32))
 
-    n_pad = _ceil_to(max(n, 8 * LANE), 8 * LANE)
+    # pad to whole 64-row tiles once the state is at least one tile big:
+    # a non-64-divisible row count silently dropped the kernel to 8-row
+    # tiles (98 tiles at 1e5 rays), measured 1.4x slower than 13 full tiles
+    pad_unit = TILE_ROWS * LANE if n >= TILE_ROWS * LANE else 8 * LANE
+    n_pad = _ceil_to(max(n, 8 * LANE), pad_unit)
     pad = n_pad - n
 
-    def shape2(x, fill=0.0):
+    def shape2(x, fill=None):
+        # pad by REPLICATING the last slot (not a constant): padded rays are
+        # inactive (masked everywhere), but constant fills (r=0, tiny k/m)
+        # were measured to slow the kernel ~1.6x at 1e5 rays — out-of-band
+        # heights put the pad rows on a different interp/flux path than
+        # their tile's window.  Only the activity mask pads with a constant
+        # (0 = inactive).
         x = jnp.asarray(x).astype(jnp.float32)
-        return jnp.pad(x, (0, pad), constant_values=fill).reshape(-1, LANE)
+        if fill is not None:
+            return jnp.pad(x, (0, pad), constant_values=fill).reshape(-1, LANE)
+        return jnp.pad(x, (0, pad), mode="edge").reshape(-1, LANE)
 
     def colpad(u, v):
         out = jnp.zeros((c_pad, 8), jnp.float32)
@@ -642,11 +654,11 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
         return out
 
     statics_fields = (
-        shape2(rays.k, 1e-5), shape2(rays.l), shape2(rays.dr, 1.0),
-        shape2(rays.dm, 1e-6), shape2(rays.phi),
-        shape2(statics.dkk, 1.0), shape2(statics.dll, 1.0),
+        shape2(rays.k), shape2(rays.l), shape2(rays.dr),
+        shape2(rays.dm), shape2(rays.phi),
+        shape2(statics.dkk), shape2(statics.dll),
         shape2(statics.rr_mm_area),
-        shape2(statics.active.astype(jnp.float32)),
+        shape2(statics.active.astype(jnp.float32), fill=0.0),
     )
 
     interpret = jax.default_backend() != "tpu"
@@ -664,7 +676,7 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
         )
         return (dens, r, m, uvT), (dens, r, m, uvT, dens_prop)
 
-    carry0 = (shape2(rays.dens), shape2(rays.r), shape2(rays.m, -1e-3),
+    carry0 = (shape2(rays.dens), shape2(rays.r), shape2(rays.m),
               colpad(mean.u, mean.v))
     n_outer = run.n_steps // run.save_every
     carry, hist = jax.lax.scan(chunk, carry0, None, length=n_outer)
