@@ -54,7 +54,7 @@ def _setup(n_ray: int, backend: str, accum: str):
         projection_backend="xla" if backend == "xla" else "mxu",
         interp_backend="gather" if backend == "xla" else "mxu",
         rhs_backend="pallas" if backend in ("pallas", "pallasw") else "xla",
-        window_cells=24 if backend == "pallasw" else 0,
+        window_cells=32 if backend == "pallasw" else 0,
         flux_accum=accum if backend == "mxu" else "native",
     )
     gc = mt.GridConfig()
@@ -78,7 +78,9 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
             backend: str = "mega", accum: str = "native",
             sharded: bool = False) -> dict:
     if backend == "mega" and (n_ray > 131_072 or sharded):
-        backend = "pallas"          # megakernel is VMEM-resident single-chip
+        # megakernel is VMEM-resident single-chip; above capacity the
+        # adaptive-window fused-RHS kernel is the champion (8.85e8 at 1e6)
+        backend = "pallasw"
     cfg, bg, state, statics = _setup(n_ray, backend, accum)
     run = mt.RunConfig(dt=DT, n_steps=n_steps, save_every=n_steps)
 

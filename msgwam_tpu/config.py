@@ -101,13 +101,16 @@ class ModelConfig:
     # "pallas" (one fused TPU kernel per RHS evaluation; float32,
     # hprop=False only — see ops/rhs_pallas.py).
     rhs_backend: str = "xla"
-    # Height-windowed fused kernel (pallas backend only): restrict the
-    # per-block basis/weight construction to a window of this many grid
-    # cells (rounded up to a multiple of 8; 0 disables).  Pays off when the
-    # ray buffer is kept approximately height-sorted (``simulate(...,
-    # sort_every=N)``); any step whose blocks outgrow the window falls back
-    # to the full kernel inside the same jitted step, so results are always
-    # exact — see ops/rhs_pallas_windowed.py.
+    # Adaptive height-windowed fused kernel (pallas backend only): restrict
+    # each 8192-ray block's basis/weight construction to a window of this
+    # many grid cells (rounded to a multiple of 8; 0 disables).  The window
+    # start is computed per block *inside* the kernel from that block's own
+    # touched-cell bounds, and any block whose span outgrows the window
+    # falls back — per block, in the same kernel — to the exact full-width
+    # path, so results are always exact.  Source slots are launched
+    # height-ordered, so coherent workloads stay windowed with no sorting.
+    # Measured 1.5x at 1e6 rays (benchmarks/RESULTS.md); see
+    # ops/rhs_pallas_windowed.py.
     window_cells: int = 0
 
     # Prognostic mean flow (wave–mean-flow coupling on).  False freezes the

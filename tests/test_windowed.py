@@ -13,8 +13,6 @@ import jax.numpy as jnp
 
 import msgwam_tpu as mt
 from msgwam_tpu.models.rhs import rhs
-from msgwam_tpu.ops.rhs_pallas import prepare_inputs
-from msgwam_tpu.ops.rhs_pallas_windowed import _block_windows
 
 
 def _setup(n=12000, pad_to=16384, spread=None, sort=False):
@@ -60,16 +58,10 @@ def _assert_matches(a, b, tol):
 
 
 def test_windowed_engaged_matches_xla():
-    """Sorted rays over a 2-20 km band, 2 blocks: windows engage (ok=True,
-    distinct per-block starts) and the result matches the XLA path."""
+    """Sorted rays over a 2-20 km band, 2 blocks: per-block windows engage
+    inside the kernel and the result matches the XLA path."""
     cfg, bg, state, statics = _setup(spread=(2e3, 20e3), sort=True)
-    cfgw = cfg.replace(rhs_backend="pallas", window_cells=24)
-
-    params, _, fields, dims = prepare_inputs(120.0, state, statics, bg, cfgw)
-    win, ok = _block_windows(fields, params, dims, 24)
-    assert bool(ok), "sorted blocks must fit the 24-cell window"
-    assert np.asarray(win).shape == (2,)
-    assert np.asarray(win)[1] > np.asarray(win)[0]  # height-ordered starts
+    cfgw = cfg.replace(rhs_backend="pallas", window_cells=32)
 
     a = rhs(120.0, state, statics, bg, cfg)
     b = rhs(120.0, state, statics, bg, cfgw)
@@ -77,15 +69,26 @@ def test_windowed_engaged_matches_xla():
 
 
 def test_windowed_fallback_exact():
-    """Rays scattered over the whole grid blow the window: the lax.cond
-    fallback runs the full kernel, so the result still matches the XLA path
-    exactly — never a silent truncation."""
+    """Rays scattered over the whole grid blow every block's window: the
+    in-kernel per-block fallback runs the full-width path, so the result
+    still matches the XLA path exactly — never a silent truncation."""
     cfg, bg, state, statics = _setup(spread=(2e3, 95e3), sort=False)
-    cfgw = cfg.replace(rhs_backend="pallas", window_cells=24)
+    cfgw = cfg.replace(rhs_backend="pallas", window_cells=32)
 
-    params, _, fields, dims = prepare_inputs(120.0, state, statics, bg, cfgw)
-    _, ok = _block_windows(fields, params, dims, 24)
-    assert not bool(ok), "spread unsorted blocks must not fit the window"
+    a = rhs(120.0, state, statics, bg, cfg)
+    b = rhs(120.0, state, statics, bg, cfgw)
+    _assert_matches(a, b, 2e-5)
+
+
+def test_windowed_mixed_blocks_exact():
+    """One narrow-band block + one full-spread block in the same state:
+    windowed and fallback branches run side by side within one call."""
+    cfg, bg, state, statics = _setup(n=16384, pad_to=16384,
+                                     spread=(2e3, 95e3), sort=False)
+    r = np.asarray(state.rays.r).copy()
+    r[:8192] = np.linspace(3e3, 6e3, 8192)   # block 0: narrow
+    state = state._replace(rays=state.rays._replace(r=jnp.asarray(r)))
+    cfgw = cfg.replace(rhs_backend="pallas", window_cells=32)
 
     a = rhs(120.0, state, statics, bg, cfg)
     b = rhs(120.0, state, statics, bg, cfgw)
