@@ -83,11 +83,15 @@ def sharded_step_fn(
         state, statics, _ = step(dt, state, statics, bg, cfg, axis_name=axis)
         return state, statics
 
+    # check_vma=False: pallas_call out_shapes carry no varying-across-mesh
+    # annotation, which jax>=0.9's shard_map would otherwise reject when a
+    # pallas RHS backend runs per-shard
     mapped = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(state_spec, statics_spec),
         out_specs=(state_spec, statics_spec),
+        check_vma=False,
     )
     return jax.jit(mapped)
 
@@ -158,6 +162,7 @@ def build_sharded_simulate_fn(
             body, mesh=mesh,
             in_specs=(state_spec, statics_spec, bg_spec),
             out_specs=(state_spec, statics_spec, observe_spec),
+            check_vma=False,
         )(state, statics, bg)
 
     def run_src(state, statics, bg, source):
@@ -165,6 +170,7 @@ def build_sharded_simulate_fn(
             body, mesh=mesh,
             in_specs=(state_spec, statics_spec, bg_spec, source_spec),
             out_specs=(state_spec, statics_spec, observe_spec),
+            check_vma=False,
         )(state, statics, bg, source)
 
     def dispatch(state, statics, bg, source=None):

@@ -126,3 +126,21 @@ def test_sort_every_transparent():
         np.asarray(fa.rays.r), np.asarray(fb.rays.r), rtol=1e-9
     )
     np.testing.assert_array_equal(np.asarray(sa.active), np.asarray(sb.active))
+
+
+def test_windowed_kernel_under_shard_map():
+    """The adaptive-window pallas RHS composes with the sharded path: an
+    8-device ('rays',) mesh run matches single-device at f32 tolerance
+    (per-shard kernels + one psum at the flux transpose)."""
+    from msgwam_tpu.parallel.sharding import make_mesh, sharded_simulate
+
+    cfg, bg, state, statics = _setup(n=16384, pad_to=16384,
+                                     spread=(2e3, 20e3), sort=True)
+    cfgw = cfg.replace(rhs_backend="pallas", window_cells=32)
+    run = mt.RunConfig(dt=120.0, n_steps=2, save_every=2)
+
+    a, _, _ = mt.simulate(state, statics, bg, cfgw, run)
+    mesh = make_mesh(8)
+    b, _, _ = sharded_simulate(mesh, state, statics, bg, cfgw, run)
+    assert _rel(a.rays.r, b.rays.r) < 2e-5
+    assert _rel(a.mean.u, b.mean.u) < 2e-5
