@@ -80,6 +80,21 @@ def _load_config(args) -> dict:
         while args.steps % cap:
             cap -= 1
         spec["run"]["save_every"] = cap
+    kernels = getattr(args, "kernels", None)
+    if kernels:
+        model = spec.setdefault("model", {})
+        if kernels == "xla":
+            model.update(projection_backend="xla", interp_backend="gather",
+                         rhs_backend="xla", window_cells=0)
+        elif kernels == "mxu":
+            model.update(projection_backend="mxu", interp_backend="mxu",
+                         rhs_backend="xla", window_cells=0)
+        elif kernels == "pallas":
+            model.update(projection_backend="mxu", interp_backend="mxu",
+                         rhs_backend="pallas", window_cells=0)
+        elif kernels == "windowed":
+            model.update(projection_backend="mxu", interp_backend="mxu",
+                         rhs_backend="pallas", window_cells=32)
     return spec
 
 
@@ -277,6 +292,14 @@ def main(argv=None):
     runp.add_argument("--stream-history", action="store_true",
                       help="stream wind profiles to disk via the native "
                            "async writer (requires --log-every)")
+    runp.add_argument("--kernels",
+                      choices=["xla", "mxu", "pallas", "windowed"],
+                      help="compute-kernel override: xla = parity backends "
+                           "(segment-sum / np.interp-exact); mxu = dense "
+                           "XLA backends; pallas = fused-RHS TPU kernel; "
+                           "windowed = fused kernel with adaptive per-block "
+                           "height windows (fastest at scale; "
+                           "benchmarks/RESULTS.md)")
     sub.add_parser("bench", help="run the metric-of-record benchmark")
     args = ap.parse_args(argv)
 

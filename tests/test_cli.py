@@ -74,3 +74,14 @@ def test_steps_override_keeps_save_every_divisible():
     ns = argparse.Namespace(config=None, preset="reference", steps=13)
     spec = _load_config(ns)
     assert spec["run"]["save_every"] == 1
+
+
+def test_kernels_flag(tmp_path):
+    """--kernels windowed drives the adaptive pallas RHS through the CLI
+    (interpret mode on CPU) and produces finite diagnostics."""
+    out = tmp_path / "w"
+    r = _run(["run", "--preset", "fast", "--steps", "4", "--out", str(out),
+              "--no-plot", "--kernels", "windowed"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = np.load(out / "diagnostics.npz")
+    assert np.all(np.isfinite(d["wave_action"]))
