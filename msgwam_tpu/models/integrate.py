@@ -134,9 +134,50 @@ def rk3_step(
     selects rk3/rk4/euler; default is the reference's Williamson RK3).
     Like the reference, the full ``dt`` is passed to every stage's RHS
     (``lib/libprop.py:693-697`` — only online saturation consumes it;
-    SURVEY.md quirk 6)."""
+    SURVEY.md quirk 6).
+
+    With the adaptive-window pallas backend and the default RHS, the whole
+    step runs stage-fused (the RK3 q/y arithmetic inside the kernel —
+    measured ~0.18 ms/step of XLA glue at 1e6 rays otherwise); gradients
+    route through the generic path via a custom VJP."""
+    if (rhs is rhs_default and cfg.rhs_backend == "pallas"
+            and cfg.window_cells > 0 and cfg.integrator == "rk3"
+            and not cfg.hprop):
+        return _rk3_step_fused(dt, state, statics, bg, cfg, axis_name)
     integ = INTEGRATORS[cfg.integrator]
     return integ(lambda s: rhs(dt, s, statics, bg, cfg, axis_name), state, dt)
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _rk3_step_fused(dt, state, statics, bg, cfg, axis_name):
+    from ..ops.rhs_pallas_windowed import rk3_step_fused_windowed
+
+    return rk3_step_fused_windowed(dt, state, statics, bg, cfg, axis_name)
+
+
+def _rk3_step_fused_fwd(dt, state, statics, bg, cfg, axis_name):
+    return (_rk3_step_fused(dt, state, statics, bg, cfg, axis_name),
+            (dt, state, statics, bg))
+
+
+def _rk3_step_fused_bwd(cfg, axis_name, res, g):
+    dt, state, statics, bg = res
+    xla_cfg = cfg.replace(rhs_backend="xla",
+                          projection_backend="mxu", interp_backend="mxu")
+
+    def generic(dt_, s_, st_, bg_):
+        return williamson_rk3(
+            lambda s: rhs_default(dt_, s, st_, bg_, xla_cfg, axis_name),
+            s_, dt_)
+
+    _, vjp = jax.vjp(generic, dt, state, statics, bg)
+    return vjp(g)
+
+
+_rk3_step_fused.defvjp(_rk3_step_fused_fwd, _rk3_step_fused_bwd)
 
 
 class StepAux(NamedTuple):

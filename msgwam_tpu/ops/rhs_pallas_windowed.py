@@ -44,15 +44,25 @@ from .rhs_pallas import (
     _G0C, _DZ, _G0F, _DT, _BVF, _KAPPA, _F0,
 )
 
+# staged-mode scalar slots (appended to the 8 shared ones)
+_CC, _BC, _FIRST = 8, 9, 10
+
+
 def _kernel(
     params_ref, tabs_ref,
     dens_ref, r_ref, dr_ref, k_ref, l_ref, m_ref, dm_ref, phi_ref,
     dkk_ref, dll_ref, area_ref, act_ref,
-    dens_st_ref, drr_st_ref, dmm_st_ref, flux_ref,
-    acc_ref, comp_ref,
-    *, n_tab: int, n_flux_cells: int, c_pad: int, w_cells: int,
-    saturate_online: bool, faithful: bool,
+    *rest,
+    n_tab: int, n_flux_cells: int, c_pad: int, w_cells: int,
+    saturate_online: bool, faithful: bool, staged: bool = False,
 ):
+    if staged:
+        (qd_ref, qr_ref, qm_ref,
+         dens_st_ref, drr_st_ref, dmm_st_ref, flux_ref,
+         qdo_ref, qro_ref, qmo_ref, acc_ref, comp_ref) = rest
+    else:
+        (dens_st_ref, drr_st_ref, dmm_st_ref, flux_ref,
+         acc_ref, comp_ref) = rest
     i = pl.program_id(0)
     n_prog = pl.num_programs(0)
     g0c = params_ref[_G0C]
@@ -248,6 +258,27 @@ def _kernel(
         finish(du_rows, dv_rows, rho_rows)
         kahan(blk, pl.ds(0, c_pad))
 
+    if staged:
+        # Williamson RK3 stage arithmetic fused in-kernel (the XLA glue's
+        # q/y elementwise passes cost a measured ~0.18 ms/step at 1e6):
+        #   q' = dt·f − c·q ; y' = y + b·q'  (stage 1: q' = dt·f, y += q'/3
+        #   via division, lib/libprop.py:693-698).  The tendency just
+        #   written to each output ref is read back and replaced by y'.
+        cc = params_ref[_CC]
+        bc = params_ref[_BC]
+        first = params_ref[_FIRST] > 0.5
+
+        def upd(st_ref, q_ref, qo_ref, y):
+            tend = st_ref[:]
+            q_new = jnp.where(first, dt * tend, dt * tend - cc * q_ref[:])
+            y_new = jnp.where(first, y + q_new / 3.0, y + bc * q_new)
+            qo_ref[:] = q_new
+            st_ref[:] = y_new
+
+        upd(dens_st_ref, qd_ref, qdo_ref, dens)
+        upd(drr_st_ref, qr_ref, qro_ref, r)
+        upd(dmm_st_ref, qm_ref, qmo_ref, m)
+
     @pl.when(i == n_prog - 1)
     def _():
         flux_ref[:] = acc_ref[:]
@@ -299,6 +330,149 @@ def _rhs_adaptive_call(
         interpret=interpret,
     )(params, tabs, dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act)
     return outs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_tab", "n_flux_cells", "w_cells",
+        "saturate_online", "faithful", "interpret"
+    ),
+)
+def _rhs_staged_call(
+    params, tabs,
+    dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act,
+    qd, qr, qm,
+    n_tab: int, n_flux_cells: int, w_cells: int,
+    saturate_online: bool, faithful: bool, interpret: bool,
+):
+    """Adaptive-window RHS + fused RK3 stage update: returns
+    ``(y_dens', y_r', y_m', fluxT, q_dens', q_r', q_m')``."""
+    n_rows = r.shape[0]
+    n_blocks = n_rows // SUBLANES
+    c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
+    kernel = functools.partial(
+        _kernel, n_tab=n_tab, n_flux_cells=n_flux_cells, c_pad=c_pad,
+        w_cells=w_cells, saturate_online=saturate_online, faithful=faithful,
+        staged=True,
+    )
+    row = pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0))
+    big = jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                 # params
+            pl.BlockSpec((c_pad, 8), lambda i: (0, 0)),            # col tables
+            row, row, row, row, row, row, row, row, row, row, row, row,
+            row, row, row,                                         # q in
+        ],
+        out_specs=(
+            row, row, row,
+            pl.BlockSpec((c_pad, 8), lambda i: (0, 0)),
+            row, row, row,                                         # q out
+        ),
+        out_shape=(
+            big, big, big,
+            jax.ShapeDtypeStruct((c_pad, 8), jnp.float32),
+            big, big, big,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c_pad, 8), jnp.float32),   # flux accumulator
+            pltpu.VMEM((c_pad, 8), jnp.float32),   # Kahan compensation
+        ],
+        interpret=interpret,
+    )(params, tabs, dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act,
+      qd, qr, qm)
+    return outs
+
+
+def rk3_step_fused_windowed(dt, state, statics, bg, cfg, axis_name=None):
+    """One complete Williamson RK3 step with the stage arithmetic fused into
+    the adaptive-window kernel: 3 kernel launches per step, no XLA q/y
+    passes.  Matches the generic ``rk3_step`` with the pallas backend at f32
+    tolerance (tests/test_windowed.py); requires ``hprop=False`` and the
+    default RHS."""
+    from ..state import MeanState, State, coriolis
+
+    params8, _t, fields, dims = prepare_inputs(dt, state, statics, bg, cfg)
+    n, n_tab, n_flux_cells, c_pad = dims
+    w_cells = min(_ceil_to(max(cfg.window_cells, 16), 8), c_pad)
+    interpret = jax.default_backend() != "tpu"
+
+    f = list(fields)         # (dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act)
+    zero = jnp.zeros_like(f[0])
+    qd = qr = qm = zero
+    u = state.mean.u.astype(jnp.float32)
+    v = state.mean.v.astype(jnp.float32)
+    qu = jnp.zeros_like(u)
+    qv = jnp.zeros_like(v)
+    dzc = bg.centers[1] - bg.centers[0]
+
+    def col(x):
+        x = x.astype(jnp.float32)
+        return jnp.pad(x, (0, c_pad - x.shape[0]))
+
+    rho_col = col(bg.rhobar)
+    zcol = jnp.zeros((c_pad,), jnp.float32)
+    ff0 = coriolis(cfg.phi0, jnp.float32)
+    pg = bg.pressure_gradient.astype(jnp.float32)
+    rhobar = bg.rhobar.astype(jnp.float32)
+
+    for cc, bc, first in ((0.0, 0.0, 1.0), (5.0 / 9.0, 15.0 / 16.0, 0.0),
+                          (153.0 / 128.0, 8.0 / 15.0, 0.0)):
+        du_dz = (u[1:] - u[:-1]) / dzc
+        dv_dz = (v[1:] - v[:-1]) / dzc
+        tabs = jnp.stack(
+            [col(du_dz), col(dv_dz), rho_col, zcol, zcol, zcol, zcol, zcol],
+            axis=1,
+        )
+        # prepare_inputs builds 7 scalar slots; pad to 8 so the staged
+        # coefficients land exactly on _CC/_BC/_FIRST = 8/9/10
+        params = jnp.concatenate([
+            params8,
+            jnp.zeros((8 - params8.shape[0],), jnp.float32),
+            jnp.asarray([cc, bc, first], jnp.float32),
+        ])
+        f[0], f[1], f[5], fluxT, qd, qr, qm = _rhs_staged_call(
+            params, tabs, *f, qd, qr, qm,
+            n_tab=n_tab, n_flux_cells=n_flux_cells, w_cells=w_cells,
+            saturate_online=bool(cfg.saturate_online),
+            faithful=bool(cfg.faithful_saturation),
+            interpret=interpret,
+        )
+
+        pm_interior = fluxT.T[:2, :n_flux_cells]
+        if axis_name is not None:
+            pm_interior = jax.lax.psum(pm_interior, axis_name)
+        if cfg.prognostic_mean:
+            pm_flux = jnp.concatenate(
+                [pm_interior[:, :1], pm_interior, pm_interior[:, -1:]], axis=1)
+            dzf = (bg.faces[1] - bg.faces[0]).astype(jnp.float32)
+            grad = (pm_flux[:, 1:] - pm_flux[:, :-1]) / dzf
+            du_st = ff0 * v - (pg[0] + grad[0]) / rhobar
+            dv_st = -ff0 * u - (pg[1] + grad[1]) / rhobar
+            if first:
+                qu = dt * du_st
+                qv = dt * dv_st
+                u = u + qu / 3.0
+                v = v + qv / 3.0
+            else:
+                qu = dt * du_st - cc * qu
+                qv = dt * dv_st - cc * qv
+                u = u + bc * qu
+                v = v + bc * qv
+
+    unshape = lambda x: x.reshape(-1)[:n]
+    dtype = state.rays.dens.dtype
+    rays = state.rays._replace(
+        dens=unshape(f[0]).astype(dtype),
+        r=unshape(f[1]).astype(dtype),
+        m=unshape(f[5]).astype(dtype),
+    )
+    mean = MeanState(u.astype(state.mean.u.dtype),
+                     v.astype(state.mean.v.dtype))
+    return State(rays, mean)
 
 
 def rhs_fused_windowed(dt, state, statics, bg, cfg):

@@ -144,3 +144,33 @@ def test_windowed_kernel_under_shard_map():
     b, _, _ = sharded_simulate(mesh, state, statics, bg, cfgw, run)
     assert _rel(a.rays.r, b.rays.r) < 2e-5
     assert _rel(a.mean.u, b.mean.u) < 2e-5
+
+
+def test_stage_fused_step_trajectory_and_grad():
+    """cfg.window_cells>0 + pallas routes whole RK3 steps through the
+    stage-fused kernel: multi-step trajectories match the XLA path, and
+    gradients (custom VJP through the generic path) match too."""
+    cfg, bg, state, statics = _setup(n=4000, pad_to=8192,
+                                     spread=(2e3, 12e3), sort=True)
+    cfgw = cfg.replace(rhs_backend="pallas", window_cells=32)
+    run = mt.RunConfig(dt=120.0, n_steps=4, save_every=4)
+
+    a, _, _ = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))(state, statics)
+    b, _, _ = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfgw, run))(state, statics)
+    assert _rel(a.rays.dens, b.rays.dens) < 5e-5
+    assert _rel(a.rays.r, b.rays.r) < 5e-5
+    assert _rel(a.rays.m, b.rays.m) < 5e-5
+    assert _rel(a.mean.u, b.mean.u) < 5e-5
+
+    def loss_for(c):
+        def loss(scale):
+            s = state._replace(
+                rays=state.rays._replace(dens=state.rays.dens * scale))
+            final, _, _ = mt.simulate(s, statics, bg, c, run)
+            return jnp.sum((final.mean.u - state.mean.u) ** 2)
+        return loss
+
+    g_xla = jax.grad(loss_for(cfg))(1.0)
+    g_fused = jax.grad(loss_for(cfgw))(1.0)
+    assert np.isfinite(float(g_fused)) and float(g_fused) != 0.0
+    np.testing.assert_allclose(float(g_fused), float(g_xla), rtol=5e-4)
