@@ -54,7 +54,9 @@ def _setup(n_ray: int, backend: str, accum: str):
         projection_backend="xla" if backend == "xla" else "mxu",
         interp_backend="gather" if backend == "xla" else "mxu",
         rhs_backend="pallas" if backend in ("pallas", "pallasw") else "xla",
-        window_cells=32 if backend == "pallasw" else 0,
+        # W=16 measured fastest at 1e6 (1.09e9 ray-steps/s; narrower windows
+        # beat wider ones as long as blocks stay coherent - RESULTS.md)
+        window_cells=16 if backend == "pallasw" else 0,
         flux_accum=accum if backend == "mxu" else "native",
     )
     gc = mt.GridConfig()
