@@ -75,6 +75,7 @@ def _kernel(
     k_ref, l_ref, dr_ref, dm_ref, phi_ref, dkk_ref, dll_ref, area_ref, act_ref,
     dens_o, r_o, m_o, uv_o, dens_pp,
     qd, qr, qm, du_s, dv_s, rho_s, quv, acc_ref, tabs_m, r_prev, m_prev,
+    ff2_s, kh2_s, pv_s,
     *, n_rows: int, n_tab: int, n_flux_cells: int, c_pad: int,
     tile_rows: int, online: bool, prognostic: bool, faithful: bool,
 ):
@@ -99,6 +100,11 @@ def _kernel(
         r_o[:] = r_in[:]
         m_o[:] = m_in[:]
         uv_o[:] = uv_in[:]
+        # per-ray run constants (hprop off: phi, k, l, dm, dkk, dll frozen)
+        sphi = jnp.sin(phi_ref[:])
+        ff2_s[:] = (2.0 * ROT_EARTH) * (2.0 * ROT_EARTH) * sphi * sphi
+        kh2_s[:] = k_ref[:] * k_ref[:] + l_ref[:] * l_ref[:]
+        pv_s[:] = jnp.abs(dkk_ref[:] * dll_ref[:] * dm_ref[:])
 
     # --- per-stage setup (before any tile of this stage) -------------------
     @pl.when((tl == 0) & (st < 3))
@@ -139,9 +145,9 @@ def _kernel(
         act = act_ref[slab, :]
         amask = act > 0
 
-        ff2 = (2.0 * ROT_EARTH) * (2.0 * ROT_EARTH) * jnp.sin(phi) * jnp.sin(phi)
-        kh2 = k * k + l * l
-        pv = jnp.abs(dkk_ref[slab, :] * dll_ref[slab, :] * dm_ref[slab, :])
+        ff2 = ff2_s[slab, :]
+        kh2 = kh2_s[slab, :]
+        pv = pv_s[slab, :]
         om = jnp.sqrt((bvf * bvf * kh2 + ff2 * m * m) / (kh2 + m * m))
         cgr = -m * (om * om - ff2) / om / (kh2 + m * m)
         r_fin = r + cgr * dt
@@ -419,7 +425,7 @@ def _kernel(
             rho_s[slab, :] = jnp.stack(rows)
 
         rho_t = rho_s[slab, :]
-        kh2 = k * k + l * l
+        kh2 = kh2_s[slab, :]
         omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m_p * m_p)
                        / (kh2 + m_p * m_p))        # pre-step m, phi0
         cap = (
@@ -510,6 +516,9 @@ def _megakernel_call(
             pltpu.VMEM((c_pad, 8), jnp.float32),       # stage tables
             big(),                                     # r_prev (offline FD)
             big(),                                     # m_prev (offline FD)
+            big(),                                     # ff2 (run constant)
+            big(),                                     # kh2 (run constant)
+            big(),                                     # |dkk dll dm| (run constant)
         ],
         interpret=interpret,
     )(params, maps, cols, dens, r, m, uvT,
