@@ -50,8 +50,8 @@ _CC, _BC, _FIRST = 8, 9, 10
 
 def _kernel(
     params_ref, tabs_ref,
-    dens_ref, r_ref, dr_ref, k_ref, l_ref, m_ref, dm_ref, phi_ref,
-    dkk_ref, dll_ref, area_ref, act_ref,
+    dens_ref, r_ref, dr_ref, k_ref, l_ref, m_ref,
+    pv_ref, ff2_ref, kh2_ref, pvb_ref, act_ref,
     *rest,
     n_tab: int, n_flux_cells: int, c_pad: int, w_cells: int,
     saturate_online: bool, faithful: bool, staged: bool = False,
@@ -87,15 +87,16 @@ def _kernel(
     k = k_ref[:]
     l = l_ref[:]
     m = m_ref[:]
-    phi = phi_ref[:]
     act = act_ref[:]
     amask = act > 0
 
-    ff = 2.0 * ROT_EARTH * jnp.sin(phi)
-    kh2 = k * k + l * l
+    # ff^2, k^2+l^2 and the phase volume are run constants (hprop off),
+    # precomputed once in XLA and hoisted out of the step scan
+    ff2 = ff2_ref[:]
+    kh2 = kh2_ref[:]
     k2 = kh2 + m * m
-    om = jnp.sqrt((bvf * bvf * kh2 + ff * ff * m * m) / k2)
-    cgr = -m * (om * om - ff * ff) / om / k2        # lib/libprop.py:434-448
+    om = jnp.sqrt((bvf * bvf * kh2 + ff2 * m * m) / k2)
+    cgr = -m * (om * om - ff2) / om / k2            # lib/libprop.py:434-448
     r_fin = r + cgr * dt
 
     r_lo = r - 0.5 * dr
@@ -105,7 +106,7 @@ def _kernel(
     nup = (r_up / dz + 1.0).astype(jnp.int32)
     ood = ((nlow >= nzmax_i) & (nup >= nzmax_i)) | ((nlow <= 0) & (nup <= 0))
     live = amask & ~ood
-    pv = jnp.abs(dkk_ref[:] * dll_ref[:] * dm_ref[:])
+    pv = pv_ref[:]
     fv = cgr * dens / dz
     fvk = jnp.where(live, fv * k * pv, 0.0)
     fvl = jnp.where(live, fv * l * pv, 0.0)
@@ -148,13 +149,14 @@ def _kernel(
         if saturate_online:
             rho_t = jnp.stack(rho_rows)
             m_fin = m + dmm_st * dt
-            dmm_fin = area_ref[:] / dr
             omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m * m) / k2)
             cap = (
                 kappa * kappa * 0.5 * rho_t * omh * bvf * bvf
                 / (m_fin * m_fin) / (omh * omh - f0 * f0)
             )
-            pvol = dkk_ref[:] * dll_ref[:] * dmm_fin
+            # dkk·dll·dmm_final with dmm_final = area/dr (area preservation);
+            # pvb = dkk·dll·area precomputed in XLA
+            pvol = pvb_ref[:] / dr
             cap_applied = cap if faithful else cap / pvol
             exceed = cap < dens * pvol
             dens_st = jnp.where(exceed & amask, (cap_applied - dens) / dt, 0.0)
@@ -293,7 +295,7 @@ def _kernel(
 )
 def _rhs_adaptive_call(
     params, tabs,
-    dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act,
+    dens, r, dr, k, l, m, pv, ff2, kh2, pvb, act,
     n_tab: int, n_flux_cells: int, w_cells: int,
     saturate_online: bool, faithful: bool, interpret: bool,
 ):
@@ -311,7 +313,7 @@ def _rhs_adaptive_call(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # params
             pl.BlockSpec((c_pad, 8), lambda i: (0, 0)),            # col tables
-            row, row, row, row, row, row, row, row, row, row, row, row,
+            row, row, row, row, row, row, row, row, row, row, row,
         ],
         out_specs=(
             row, row, row,
@@ -328,7 +330,7 @@ def _rhs_adaptive_call(
             pltpu.VMEM((c_pad, 8), jnp.float32),   # Kahan compensation
         ],
         interpret=interpret,
-    )(params, tabs, dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act)
+    )(params, tabs, dens, r, dr, k, l, m, pv, ff2, kh2, pvb, act)
     return outs
 
 
@@ -341,7 +343,7 @@ def _rhs_adaptive_call(
 )
 def _rhs_staged_call(
     params, tabs,
-    dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act,
+    dens, r, dr, k, l, m, pv, ff2, kh2, pvb, act,
     qd, qr, qm,
     n_tab: int, n_flux_cells: int, w_cells: int,
     saturate_online: bool, faithful: bool, interpret: bool,
@@ -364,7 +366,7 @@ def _rhs_staged_call(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),                 # params
             pl.BlockSpec((c_pad, 8), lambda i: (0, 0)),            # col tables
-            row, row, row, row, row, row, row, row, row, row, row, row,
+            row, row, row, row, row, row, row, row, row, row, row,
             row, row, row,                                         # q in
         ],
         out_specs=(
@@ -382,9 +384,20 @@ def _rhs_staged_call(
             pltpu.VMEM((c_pad, 8), jnp.float32),   # Kahan compensation
         ],
         interpret=interpret,
-    )(params, tabs, dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act,
+    )(params, tabs, dens, r, dr, k, l, m, pv, ff2, kh2, pvb, act,
       qd, qr, qm)
     return outs
+
+
+def _derived_fields(fields):
+    """(dens, r, dr, k, l, m, pv, ff2, kh2, pvb, act) from prepare_inputs'
+    12-field tuple — the last four are per-ray run constants (hprop off),
+    computed once in XLA and hoisted out of the step scan."""
+    (dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act) = fields
+    ff = 2.0 * ROT_EARTH * jnp.sin(phi)
+    return (dens, r, dr, k, l, m,
+            jnp.abs(dkk * dll * dm), ff * ff, k * k + l * l,
+            dkk * dll * area, act)
 
 
 def rk3_step_fused_windowed(dt, state, statics, bg, cfg, axis_name=None):
@@ -400,7 +413,8 @@ def rk3_step_fused_windowed(dt, state, statics, bg, cfg, axis_name=None):
     w_cells = min(_ceil_to(max(cfg.window_cells, 16), 8), c_pad)
     interpret = jax.default_backend() != "tpu"
 
-    f = list(fields)         # (dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act)
+    f = list(_derived_fields(fields))
+    # (dens, r, dr, k, l, m, pv, ff2, kh2, pvb, act); dynamic: 0, 1, 5
     zero = jnp.zeros_like(f[0])
     qd = qr = qm = zero
     u = state.mean.u.astype(jnp.float32)
@@ -499,7 +513,7 @@ def rhs_fused_windowed(dt, state, statics, bg, cfg):
     w_cells = min(_ceil_to(max(cfg.window_cells, 16), 8), c_pad)
     interpret = jax.default_backend() != "tpu"
     dens_st, drr_st, dmm_st, fluxT = _rhs_adaptive_call(
-        params, tabs, *fields,
+        params, tabs, *_derived_fields(fields),
         n_tab=n_tab, n_flux_cells=n_flux_cells, w_cells=w_cells,
         saturate_online=bool(cfg.saturate_online),
         faithful=bool(cfg.faithful_saturation),
