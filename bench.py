@@ -54,9 +54,11 @@ def _setup(n_ray: int, backend: str, accum: str):
         projection_backend="xla" if backend == "xla" else "mxu",
         interp_backend="gather" if backend == "xla" else "mxu",
         rhs_backend="pallas" if backend in ("pallas", "pallasw") else "xla",
-        # W=16 measured fastest at 1e6 (1.09e9 ray-steps/s; narrower windows
-        # beat wider ones as long as blocks stay coherent - RESULTS.md)
-        window_cells=16 if backend == "pallasw" else 0,
+        # window width: one source of truth — the ModelConfig default
+        # (W=16, measured fastest at 1e6; RESULTS.md); "pallas" = the
+        # plain full-width fused kernel (window_cells=0)
+        window_cells=(mt.ModelConfig().window_cells
+                      if backend == "pallasw" else 0),
         flux_accum=accum if backend == "mxu" else "native",
     )
     gc = mt.GridConfig()
@@ -78,10 +80,10 @@ def _setup(n_ray: int, backend: str, accum: str):
 
 def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
             backend: str = "mega", accum: str = "native",
-            sharded: bool = False) -> dict:
-    if backend == "mega" and (n_ray > 131_072 or sharded):
-        # megakernel is VMEM-resident single-chip; above capacity the
-        # adaptive-window fused-RHS kernel is the champion (8.85e8 at 1e6)
+            sharded: bool = False, fallback: bool = False) -> dict:
+    if backend == "mega" and sharded:
+        # the megakernel family is single-chip; the sharded path runs the
+        # adaptive-window fused-RHS kernel per shard
         backend = "pallasw"
     cfg, bg, state, statics = _setup(n_ray, backend, accum)
     run = mt.RunConfig(dt=DT, n_steps=n_steps, save_every=n_steps)
@@ -123,13 +125,25 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
     ray_steps_per_sec = n_ray * n_steps / best
     label = backend + ("+" + accum if accum != "native" else "") \
         + ("+sharded" if sharded else "")
-    return {
+    result = {
         "metric": f"ray-volume steps/sec/chip at {n_ray:.0e} rays "
                   f"(coupled, online saturation, f32, {label})",
         "value": round(ray_steps_per_sec, 1),
         "unit": "ray-steps/s",
         "vs_baseline": round(ray_steps_per_sec / BASELINE_RAY_STEPS_PER_SEC, 1),
     }
+    if fallback and backend in ("pallasw", "mega") and not sharded:
+        # window-coherence observability: what fraction of 8192-ray blocks
+        # would run the exact full-width path at the END of this run (the
+        # windowed kernels silently stay exact; this makes the perf-mode
+        # degradation visible — see diagnostics.window_fallback_stats)
+        from msgwam_tpu.diagnostics import window_fallback_stats
+
+        wcfg = cfg if cfg.window_cells else cfg.replace(
+            rhs_backend="pallas", window_cells=mt.ModelConfig().window_cells)
+        s = window_fallback_stats(DT, out[0], out[1], bg, wcfg)
+        result["fallback_rate_end"] = round(float(s.fallback_rate), 4)
+    return result
 
 
 def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):

@@ -46,6 +46,10 @@ FAST_PRESET = {
         "bvf": 0.01, "u0": 4.0, "rr0": 40000.0, "phi0": 0.0, "kappa": 1.0,
         "saturate_online": True, "hprop": False,
         "projection_backend": "mxu", "interp_backend": "mxu",
+        # compensated block accumulation keeps the f32 deposit error ~1e-7,
+        # inside the <1e-6 north-star bar ('native' measures ~1.8e-6 at
+        # this ray count — benchmarks/RESULTS.md); tested in test_cli.py
+        "flux_accum": "compensated",
     },
     "grid": {"n_face": 101, "z_max": 100e3},
     "run": {"dt": 120.0, "n_steps": 720, "save_every": 10},
@@ -92,9 +96,17 @@ def _load_config(args) -> dict:
         elif kernels == "pallas":
             model.update(projection_backend="mxu", interp_backend="mxu",
                          rhs_backend="pallas", window_cells=0)
-        elif kernels == "windowed":
+        elif kernels in ("windowed", "mega"):
+            # window width: one source of truth — the ModelConfig default
+            # (W=16, measured fastest); "mega" keeps the windowed settings
+            # so its capacity/dtype fallback path is the 1e6 champion
             model.update(projection_backend="mxu", interp_backend="mxu",
-                         rhs_backend="pallas", window_cells=32)
+                         rhs_backend="pallas")
+            if not model.get("window_cells"):
+                from .config import ModelConfig
+
+                model["window_cells"] = ModelConfig().window_cells
+        spec["kernels"] = kernels
     return spec
 
 
@@ -172,10 +184,37 @@ def run_experiment(
     # transient wind_fn backgrounds and the output time axis both use t0
     t0 = step0 * run.dt
 
-    sim = jax.jit(
-        lambda s, st, r: simulate(s, st, bg, cfg, r, source=source, t0=t0),
-        static_argnums=(2,),
-    )
+    # --kernels mega: the VMEM-resident whole-run megakernel (the fastest
+    # backend at the 1e5 metric of record) when the run fits its scope;
+    # otherwise fall back to the adaptive-window kernel already configured
+    # by _load_config, with the reason printed.
+    use_mega = False
+    if spec.get("kernels") == "mega":
+        reasons = []
+        if spec.get("dtype", "float64") != "float32":
+            reasons.append("state dtype is not float32")
+        if cfg.hprop:
+            reasons.append("hprop=True")
+        if cfg.cull or cfg.relaunch:
+            reasons.append("culling/relaunch enabled")
+        if reasons:
+            print("--kernels mega: falling back to the adaptive-window "
+                  "kernel (" + "; ".join(reasons) + ")")
+        else:
+            use_mega = True
+
+    if use_mega:
+        from .ops.step_pallas import simulate_resident
+
+        sim = jax.jit(
+            lambda s, st, r: simulate_resident(s, st, bg, cfg, r),
+            static_argnums=(2,),
+        )
+    else:
+        sim = jax.jit(
+            lambda s, st, r: simulate(s, st, bg, cfg, r, source=source, t0=t0),
+            static_argnums=(2,),
+        )
     if log_every:
         # host-chunked stepping with structured progress metrics
         from .utils.metrics import MetricsLogger
@@ -293,12 +332,15 @@ def main(argv=None):
                       help="stream wind profiles to disk via the native "
                            "async writer (requires --log-every)")
     runp.add_argument("--kernels",
-                      choices=["xla", "mxu", "pallas", "windowed"],
+                      choices=["xla", "mxu", "pallas", "windowed", "mega"],
                       help="compute-kernel override: xla = parity backends "
                            "(segment-sum / np.interp-exact); mxu = dense "
                            "XLA backends; pallas = fused-RHS TPU kernel; "
                            "windowed = fused kernel with adaptive per-block "
-                           "height windows (fastest at scale; "
+                           "height windows; mega = whole-run megakernel "
+                           "(VMEM-resident <= 131072 f32 rays, "
+                           "HBM-streaming above — fastest at every size; "
+                           "falls back to windowed for f64/hprop/cull; "
                            "benchmarks/RESULTS.md)")
     sub.add_parser("bench", help="run the metric-of-record benchmark")
     args = ap.parse_args(argv)

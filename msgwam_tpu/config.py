@@ -103,15 +103,19 @@ class ModelConfig:
     rhs_backend: str = "xla"
     # Adaptive height-windowed fused kernel (pallas backend only): restrict
     # each 8192-ray block's basis/weight construction to a window of this
-    # many grid cells (rounded to a multiple of 8; 0 disables).  The window
-    # start is computed per block *inside* the kernel from that block's own
-    # touched-cell bounds, and any block whose span outgrows the window
-    # falls back — per block, in the same kernel — to the exact full-width
-    # path, so results are always exact.  Source slots are launched
-    # height-ordered, so coherent workloads stay windowed with no sorting.
-    # Measured 1.5x at 1e6 rays (benchmarks/RESULTS.md); see
-    # ops/rhs_pallas_windowed.py.
-    window_cells: int = 0
+    # many grid cells.  Values are clamped to a floor of 16 and rounded up
+    # to a multiple of 8 (both kernel entry points apply
+    # ``max(window_cells, 16)``); 0 disables windowing and selects the
+    # plain full-width fused kernel.  The window start is computed per
+    # block *inside* the kernel from that block's own touched-cell bounds,
+    # and any block whose span outgrows the window falls back — per block,
+    # in the same kernel — to the exact full-width path, so results are
+    # always exact.  Source slots are launched height-ordered, so coherent
+    # workloads stay windowed with no sorting.  The default W=16 is the
+    # measured-fastest setting (1.16e9 ray-steps/s at 1e6 rays; narrower
+    # windows beat wider ones as long as blocks stay coherent —
+    # benchmarks/RESULTS.md); see ops/rhs_pallas_windowed.py.
+    window_cells: int = 16
 
     # Prognostic mean flow (wave–mean-flow coupling on).  False freezes the
     # wind tendencies — a truly *fixed* background (BASELINE config 1), or,

@@ -168,3 +168,78 @@ def pseudo_momentum_flux(rays, statics, bg: Background, cfg: ModelConfig):
         vals, rays.r - 0.5 * rays.dr, rays.r + 0.5 * rays.dr,
         phase_vol, statics.active, bg.centers, cfg.max_span,
     )
+
+
+class WindowFallbackStats(NamedTuple):
+    """Window-coherence observability for the adaptive-window kernels."""
+
+    n_blocks: jax.Array        # total 8192-ray blocks (incl. all-inactive)
+    n_fallback: jax.Array      # blocks that would take the full-width path
+    fallback_rate: jax.Array   # n_fallback / n_blocks
+
+
+def window_fallback_stats(dt, state, statics, bg: Background,
+                          cfg: ModelConfig) -> WindowFallbackStats:
+    """How many 8192-ray blocks of the adaptive-window kernels
+    (``ops/rhs_pallas_windowed.py``, ``ops/step_pallas.py``) would fall
+    back to the exact full-width path for the *current* buffer layout.
+
+    The windowed kernels silently stay exact when a block's touched-cell
+    span outgrows ``W`` — correct, but a decohered buffer then quietly
+    loses the ~1.5x windowed win.  This mirror computes the identical
+    per-block window bounds (same index arithmetic as the kernels: hat
+    bases of r and the saturation-extrapolated r_fin, plus the deposit
+    span ``[nlow, nup)`` from ``lib/libprop.py:121-135``) in plain XLA,
+    so observability costs the hot loop nothing.  Blocks with no active
+    ray never fall back (the kernel's mask gives them an empty span).
+
+    Used by the coherence stress test (tests/test_windowed.py) and
+    reported by ``bench.py --fallback``.
+    """
+    from .constants import ROT_EARTH
+    from .ops.rhs_pallas import LANE, SUBLANES, _ceil_to, prepare_inputs
+
+    _params, _tables, fields, dims = prepare_inputs(dt, state, statics, bg, cfg)
+    _n, n_tab, n_flux_cells, c_pad = dims
+    (dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act) = fields
+    W = min(_ceil_to(max(cfg.window_cells, 16), 8), c_pad)
+
+    g0c = bg.centers[0].astype(jnp.float32)
+    dz = (bg.centers[1] - bg.centers[0]).astype(jnp.float32)
+    g0f = bg.faces[1].astype(jnp.float32)
+    hi_c = g0c + (n_tab - 1.0) * dz
+    hi_f = g0f + (n_tab - 2.0) * dz
+    nzmax_i = n_flux_cells - 1
+
+    amask = act > 0
+    ff = 2.0 * ROT_EARTH * jnp.sin(phi)
+    kh2 = k * k + l * l
+    k2 = kh2 + m * m
+    om = jnp.sqrt((cfg.bvf * cfg.bvf * kh2 + ff * ff * m * m) / k2)
+    cgr = -m * (om * om - ff * ff) / om / k2
+    r_fin = r + cgr * jnp.float32(dt)
+
+    nlow = jnp.clip(((r - 0.5 * dr) / dz).astype(jnp.int32), 0, nzmax_i)
+    nup = jnp.clip(((r + 0.5 * dr) / dz + 1.0).astype(jnp.int32), 0, nzmax_i)
+    qf_t = (jnp.clip(r, g0f, hi_f) - g0f) / dz
+    qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) / dz
+    lo_t = jnp.minimum(jnp.minimum(jnp.floor(qf_t), jnp.floor(qr_t)) - 1.0,
+                       nlow.astype(jnp.float32))
+    hi_t = jnp.maximum(jnp.maximum(jnp.floor(qf_t), jnp.floor(qr_t)) + 2.0,
+                       nup.astype(jnp.float32))
+    lo_t = jnp.where(amask, lo_t, 1e9)
+    hi_t = jnp.where(amask, hi_t, -1e9)
+
+    n_rows = r.shape[0]
+    n_blocks = n_rows // SUBLANES
+    lo_b = jnp.min(lo_t.reshape(n_blocks, SUBLANES * LANE), axis=1)
+    hi_b = jnp.max(hi_t.reshape(n_blocks, SUBLANES * LANE), axis=1)
+    win = jnp.clip((lo_b.astype(jnp.int32) // 8) * 8, 0, c_pad - W)
+    ok = hi_b - win.astype(jnp.float32) <= W
+
+    n_fb = jnp.sum(~ok)
+    return WindowFallbackStats(
+        n_blocks=jnp.asarray(n_blocks),
+        n_fallback=n_fb,
+        fallback_rate=n_fb / n_blocks,
+    )

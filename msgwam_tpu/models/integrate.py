@@ -47,6 +47,25 @@ def validate_inputs(state: State, statics: RayStatics, bg: Background,
     """
     import numpy as np
 
+    # Accuracy guard (north-star bar: flux deposit error < 1e-6): plain f32
+    # accumulation through the dense mxu projection measures ~1.8e-6 at 1e5
+    # rays and ~4.4e-6 at 1e6 (benchmarks/RESULTS.md); the compensated and
+    # f64 modes (and the pallas kernels' built-in in-VMEM Kahan) stay at
+    # ~1e-7.  Warn rather than fail: the fast-but-looser mode remains a
+    # deliberate choice for benchmarking.
+    if (cfg.dtype == "float32" and cfg.projection_backend == "mxu"
+            and cfg.rhs_backend != "pallas" and cfg.flux_accum == "native"
+            and state.rays.dens.shape[0] >= 65536):
+        import warnings
+
+        warnings.warn(
+            f"flux_accum='native' at {state.rays.dens.shape[0]} f32 rays "
+            f"exceeds the 1e-6 deposit-error target (~2e-6 at 1e5 rays); "
+            f"use flux_accum='compensated' (same speed class) or the "
+            f"pallas backend (in-kernel Kahan) for accurate fast runs",
+            stacklevel=2,
+        )
+
     want = np.dtype(cfg.dtype)
     for name, arr in (("state.rays.dens", state.rays.dens),
                       ("state.mean.u", state.mean.u),
@@ -165,8 +184,11 @@ def _rk3_step_fused_fwd(dt, state, statics, bg, cfg, axis_name):
 
 def _rk3_step_fused_bwd(cfg, axis_name, res, g):
     dt, state, statics, bg = res
+    # dense-XLA backends stand in for the in-kernel bases; flux_accum is
+    # deliberately carried through from cfg (dataclasses.replace keeps it)
     xla_cfg = cfg.replace(rhs_backend="xla",
-                          projection_backend="mxu", interp_backend="mxu")
+                          projection_backend="mxu", interp_backend="mxu",
+                          flux_accum=cfg.flux_accum)
 
     def generic(dt_, s_, st_, bg_):
         return williamson_rk3(
@@ -312,8 +334,14 @@ def simulate(
     if source_key is None:
         source_key = jnp.zeros((2,), dtype=jnp.uint32)  # unused placeholder
 
+    # The slot-identity machinery below exists solely for sort_every; when
+    # sorting is off (the default — XLA's TPU sort costs 150-250 ms at 1e6
+    # rays, ~100x a step) the scan body traces none of it and the carry
+    # holds no slot array at all (None is an empty pytree node), so
+    # unsorted runs pay zero for the feature.
     use_sort = sort_every > 0
-    slot0 = jnp.arange(state.rays.r.shape[0], dtype=jnp.int32)
+    slot0 = (jnp.arange(state.rays.r.shape[0], dtype=jnp.int32)
+             if use_sort else None)
 
     def _sorted(st, stat, slot):
         # inactive slots sort to the end, keeping live blocks height-local

@@ -79,7 +79,12 @@ def rhs(
     Differentiable on every backend: the pallas fused kernel carries a
     ``custom_vjp`` whose backward pass differentiates the numerically
     equivalent XLA path (the kernels match at f32 tolerance, so the
-    gradients are consistent to the same order)."""
+    gradients are consistent to the same order).  Backend substitution in
+    that backward pass: ``projection_backend``/``interp_backend`` are
+    forced to the dense "mxu" path (the closest XLA equivalent of the
+    in-kernel bases), while ``cfg.flux_accum`` is carried through
+    unchanged, so e.g. a ``flux_accum="compensated"`` forward gets the
+    same compensated accumulation in its gradient."""
     if cfg.rhs_backend == "pallas":
         return _rhs_fused_diff(dt, state, statics, bg, cfg, axis_name)
     return _rhs_xla(dt, state, statics, bg, cfg, axis_name)
@@ -218,8 +223,11 @@ def _rhs_fused_fwd(dt, state, statics, bg, cfg, axis_name):
 
 def _rhs_fused_bwd(cfg, axis_name, res, g):
     dt, state, statics, bg = res
+    # dense-XLA backends stand in for the in-kernel bases; flux_accum is
+    # deliberately carried through from cfg (dataclasses.replace keeps it)
     xla_cfg = cfg.replace(rhs_backend="xla",
-                          projection_backend="mxu", interp_backend="mxu")
+                          projection_backend="mxu", interp_backend="mxu",
+                          flux_accum=cfg.flux_accum)
     _, vjp = jax.vjp(
         lambda dt_, s_, st_, bg_: _rhs_xla(dt_, s_, st_, bg_, xla_cfg,
                                            axis_name),

@@ -75,7 +75,7 @@ def _kernel(
     k_ref, l_ref, dr_ref, dm_ref, phi_ref, dkk_ref, dll_ref, area_ref, act_ref,
     dens_o, r_o, m_o, uv_o, dens_pp,
     qd, qr, qm, du_s, dv_s, rho_s, quv, acc_ref, tabs_m, r_prev, m_prev,
-    ff2_s, kh2_s, pv_s,
+    ff2_s, kh2_s, pv_s, comp_m,
     *, n_rows: int, n_tab: int, n_flux_cells: int, c_pad: int,
     tile_rows: int, online: bool, prognostic: bool, faithful: bool,
 ):
@@ -118,6 +118,7 @@ def _kernel(
         tabs_m[:, 2:3] = cols_ref[:, 0:1]                   # ρ̄
         tabs_m[:, 3:8] = jnp.zeros((c_pad, 5), jnp.float32)
         acc_ref[:] = jnp.zeros((c_pad, 8), jnp.float32)
+        comp_m[:] = jnp.zeros((c_pad, 8), jnp.float32)
 
     nzmax_i = n_flux_cells - 1
     nzmax = jnp.float32(nzmax_i)
@@ -132,6 +133,16 @@ def _kernel(
     # --- tile work ---------------------------------------------------------
     base = tl * T
     slab = pl.ds(base, T)
+
+    def kahan_acc(part, sl):
+        # Kahan-compensated flux accumulation (the windowed kernel's
+        # comp_ref pattern): keeps the up-to-16-tile partial sum's deposit
+        # error at the windowed kernel's ~1e-7 level instead of growing
+        # with tile count (tests/test_megakernel.py deposit-accuracy test).
+        y = part - comp_m[sl, :]
+        t = acc_ref[sl, :] + y
+        comp_m[sl, :] = (t - acc_ref[sl, :]) - y
+        acc_ref[sl, :] = t
 
     def _stage_tile():
 
@@ -227,8 +238,7 @@ def _kernel(
             dv_s[slab, :] = jnp.stack(dv_rows)
             if online:
                 rho_s[slab, :] = jnp.stack(rho_rows)
-            aw = pl.ds(win, W)
-            acc_ref[aw, :] = acc_ref[aw, :] + tile_acc
+            kahan_acc(tile_acc, pl.ds(win, W))
 
         @pl.when(~ok)
         def _full():
@@ -291,7 +301,7 @@ def _kernel(
             dv_s[slab, :] = jnp.stack(dv_rows)
             if online:
                 rho_s[slab, :] = jnp.stack(rho_rows)
-            acc_ref[:] = acc_ref[:] + tile_acc
+            kahan_acc(tile_acc, pl.ds(0, c_pad))
 
         # --- tendencies + RK3 q/y updates for this tile ------------------------
         du_t = du_s[slab, :]
@@ -519,6 +529,7 @@ def _megakernel_call(
             big(),                                     # ff2 (run constant)
             big(),                                     # kh2 (run constant)
             big(),                                     # |dkk dll dm| (run constant)
+            pltpu.VMEM((c_pad, 8), jnp.float32),       # Kahan compensation
         ],
         interpret=interpret,
     )(params, maps, cols, dens, r, m, uvT,
@@ -597,9 +608,11 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
     step; ``dens_prop`` then carries the pre-saturation density exactly
     like the scan path's aux channel.
 
-    Requires ``hprop=False``, f32 state, capacity ≤ 131,072 rays, no
-    culling/relaunch/prescribed wind.  For anything else use
-    :func:`msgwam_tpu.simulate`.
+    Requires ``hprop=False``, f32 state, no culling/relaunch/prescribed
+    wind.  Above the 131,072-ray VMEM capacity the call transparently
+    dispatches to the HBM-streaming variant of the same whole-run kernel
+    (``ops/step_pallas_stream.py``) — any ray count is supported.  For
+    anything else use :func:`msgwam_tpu.simulate`.
     """
     from ..state import RayState, MeanState, State
 
@@ -610,16 +623,33 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
             "simulate_resident does not support culling/relaunch; "
             "use simulate()"
         )
+    # mirror validate_inputs' dtype discipline: this kernel computes in f32,
+    # so silently accepting (and down-casting) an f64 parity-config state
+    # would hide the precision loss (ADVICE round 2)
+    import numpy as _np
+
+    for name, arr in (("state.rays.dens", state.rays.dens),
+                      ("state.mean.u", state.mean.u)):
+        got = jnp.asarray(arr).dtype
+        if got != _np.float32:
+            raise TypeError(
+                f"simulate_resident computes in float32 but {name} has "
+                f"dtype {got}; build the state with dtype=float32 (or use "
+                f"simulate() for the f64 parity path)"
+            )
     if run.n_steps % run.save_every:
         raise ValueError("n_steps must be divisible by save_every")
     rays, mean = state.rays, state.mean
     n = rays.r.shape[0]
     n_rows_needed = _ceil_to(n, LANE) // LANE
     if n_rows_needed > MAX_ROWS:
-        raise ValueError(
-            f"{n} rays exceed the VMEM-resident capacity "
-            f"({MAX_ROWS * LANE}); use simulate()"
-        )
+        # above the VMEM-resident capacity the HBM-streaming variant runs
+        # the same whole-run kernel structure with the per-ray state
+        # pipelined through VMEM tile by tile (ops/step_pallas_stream.py)
+        from .step_pallas_stream import simulate_streaming
+
+        return simulate_streaming(state, statics, bg, cfg, run,
+                                  include_t0=include_t0)
 
     n_tab = bg.centers.shape[0]
     n_flux_cells = n_tab - 1

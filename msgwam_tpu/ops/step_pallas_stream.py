@@ -1,0 +1,722 @@
+"""HBM-streaming whole-run megakernel: full RK3 steps at any ray count.
+
+Round 2's VMEM-resident megakernel (``step_pallas.py``) is the fastest
+backend at the 1e5 metric of record but is capped at 131,072 rays — the
+whole state must fit VMEM.  Round 2 also measured *why* plain stage fusion
+was neutral above that size: fusing the RK3 q/y arithmetic into a per-stage
+kernel saves ~0.18 ms of XLA glue per step but pays it back streaming the q
+registers through HBM uncompensated (``benchmarks/RESULTS.md``).
+
+This kernel keeps the megakernel's whole-run structure — ONE ``pallas_call``
+whose sequential 3-D grid ``(n_steps, stages, n_tiles)`` executes
+``n_steps`` complete Williamson RK3 steps (``lib/libprop.py:680-700``) —
+but streams the per-ray state through VMEM tile by tile:
+
+* the mutable per-ray arrays live in HBM as unblocked ``ANY``-memory-space
+  refs: dens/r/m are input/output-aliased (in-place on the caller's
+  buffers, which hold the initial state), while the RK3 q registers, the
+  offline-mode pre-step state, and dens_prop are plain ``ANY`` *outputs* —
+  within one call each is always written (stage 1 / phase 1) before it is
+  read (stages 2-3 / phase 4), so they need no initialization at all;
+* each (stage, tile) grid point DMAs its (64, 128)-ray slabs into VMEM
+  work buffers (``pltpu.make_async_copy``, one semaphore lane per array),
+  computes, and DMAs the updated slabs back; every body first waits the
+  previous body's store semaphores before reusing the buffers, which
+  makes the in-place protocol correct for any tile count;
+* the frozen per-ray fields (k, l, dr and the precomputed run constants
+  ff², k_h², phase volumes, activity) stream as read-only blocked inputs —
+  pallas's pipeline double-buffers those automatically;
+* the *small* state — mean wind, RK3 wind register, stage shear/ρ̄ tables,
+  and the Kahan-compensated flux accumulator — stays in VMEM scratch
+  across the entire run, exactly like the resident megakernel;
+* per tile, the same adaptive height window + exact full-width fallback
+  as ``rhs_pallas_windowed.py``, MXU flux contractions, in-register q/y
+  stage updates;
+* stage boundaries ride the grid: at ``tile == 0`` the stage tables are
+  rebuilt from the current wind (``shear = SH^T·u``); at the last tile the
+  accumulated flux becomes the wind update (``grad = G^T·flux``,
+  ``lib/libprop.py:523-558,653-663``).
+
+What this buys over the scan path at 1e6 rays: no per-step kernel
+launches, no XLA q/y glue passes (~0.18 ms/step measured), no separate
+flux→wind launches — only the irreducible tile streaming remains.
+
+Scope: ``hprop=False``, float32, both saturation modes (online in-stage,
+or the reference's offline direct saturation as a 4th grid phase with FD
+rates across the step incl. quirk 2 — ``raytracer.py:182-188``), no
+culling/relaunch/prescribed wind.  Dispatched automatically by
+:func:`msgwam_tpu.ops.step_pallas.simulate_resident` above the VMEM
+capacity; equivalence vs the scan path is tested in
+tests/test_megakernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import ROT_EARTH
+
+LANE = 128
+TILE_ROWS = 64            # 8192 rays per streamed tile
+WIN = 16                  # default per-tile window cells (8-aligned)
+
+(_G0C, _DZ, _G0F, _DT, _BVF, _KAPPA, _F0, _RDIV) = range(8)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    params_ref, maps_ref, cols_ref, uv0_ref,
+    k_ref, l_ref, dr_ref, pv_ref, ff2_ref, kh2_ref, pvb_ref, act_ref,
+    dens_in, r_in, m_in,
+    *rest,
+    n_tab: int, n_flux_cells: int, c_pad: int, w_cells: int,
+    online: bool, prognostic: bool, faithful: bool,
+):
+    # outputs: dens/r/m (aliased with dens_in/r_in/m_in — same HBM), then
+    # the write-before-read ANY outputs, pp, uv, then scratch
+    n_arr = 6 if online else 8        # slabs DMA'd per body
+    if online:
+        (dens_h, r_h, m_h, qd_h, qr_h, qm_h, pp_h, uv_o,
+         *rest) = rest
+        hbm = (dens_h, r_h, m_h, qd_h, qr_h, qm_h)
+    else:
+        (dens_h, r_h, m_h, qd_h, qr_h, qm_h, rp_h, mp_h, pp_h, uv_o,
+         *rest) = rest
+        hbm = (dens_h, r_h, m_h, qd_h, qr_h, qm_h, rp_h, mp_h)
+    bufs = rest[:n_arr]
+    (pp_b, tabs_m, acc_ref, comp_m, quv, uv_s,
+     load_sem, store_sem, pp_sem) = rest[n_arr:]
+    dens_b, r_b, m_b, qd_b, qr_b, qm_b = bufs[:6]
+    if not online:
+        rp_b, mp_b = bufs[6:8]
+
+    step = pl.program_id(0)
+    st = pl.program_id(1)             # 0-2: RK3 stages; 3 (offline): sat
+    tl = pl.program_id(2)
+    n_tiles = pl.num_programs(2)
+    n_steps = pl.num_programs(0)
+    n_st = pl.num_programs(1)
+
+    g0c = params_ref[_G0C]
+    dz = params_ref[_DZ]
+    g0f = params_ref[_G0F]
+    dt = params_ref[_DT]
+    bvf = params_ref[_BVF]
+    kappa = params_ref[_KAPPA]
+    f0 = params_ref[_F0]
+    W = w_cells
+    T = TILE_ROWS
+
+    first_body = (step == 0) & (st == 0) & (tl == 0)
+    last_body = (step == n_steps - 1) & (st == n_st - 1) \
+        & (tl == n_tiles - 1)
+    pp_phase = (step == n_steps - 1) & (st == n_st - 1)
+    slab = pl.ds(tl * T, T)
+
+    def dma_all(direction):
+        for a in range(n_arr):
+            if direction == "load":
+                cp = pltpu.make_async_copy(
+                    hbm[a].at[slab, :], bufs[a], load_sem.at[a])
+            else:
+                cp = pltpu.make_async_copy(
+                    bufs[a], hbm[a].at[slab, :], store_sem.at[a])
+            cp.start()
+
+    def wait_all(sem):
+        for a in range(n_arr):
+            pltpu.make_async_copy(bufs[a], bufs[a], sem.at[a]).wait()
+
+    # previous body's stores must land before this body reuses the buffers
+    @pl.when(~first_body)
+    def _():
+        wait_all(store_sem)
+
+    # ... including the previous tile's dens_prop store, which reads pp_b
+    @pl.when(pp_phase & (tl > 0))
+    def _():
+        pltpu.make_async_copy(pp_b, pp_b, pp_sem).wait()
+
+    dma_all("load")
+    wait_all(load_sem)
+
+    @pl.when(first_body)
+    def _():
+        uv_s[:] = uv0_ref[:]
+
+    # --- per-stage setup (before any tile of this stage) -------------------
+    @pl.when((tl == 0) & (st < 3))
+    def _():
+        sh_cols = jax.lax.dot_general(
+            maps_ref[0:c_pad, :], uv_s[:],
+            dimension_numbers=((((0,), (0,))), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # (c_pad, 8)
+        tabs_m[:, 0:2] = sh_cols[:, 0:2]
+        tabs_m[:, 2:3] = cols_ref[:, 0:1]                   # ρ̄
+        tabs_m[:, 3:8] = jnp.zeros((c_pad, 5), jnp.float32)
+        acc_ref[:] = jnp.zeros((c_pad, 8), jnp.float32)
+        comp_m[:] = jnp.zeros((c_pad, 8), jnp.float32)
+
+    nzmax_i = n_flux_cells - 1
+    hi_c = g0c + (n_tab - 1.0) * dz
+    hi_f = g0f + (n_tab - 2.0) * dz
+
+    col_full = jax.lax.broadcasted_iota(jnp.int32, (c_pad, LANE), 0)
+    col_full_f = col_full.astype(jnp.float32)
+    col_win_i = jax.lax.broadcasted_iota(jnp.int32, (W, LANE), 0)
+    col_win = col_win_i.astype(jnp.float32)
+
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(dims, ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def kahan_acc(part, sl):
+        y = part - comp_m[sl, :]
+        t = acc_ref[sl, :] + y
+        comp_m[sl, :] = (t - acc_ref[sl, :]) - y
+        acc_ref[sl, :] = t
+
+    def _rk3_update(dens_st, drr_st, dmm_st, dens, r, m):
+        c_coef = jnp.where(st == 1, 5.0 / 9.0,
+                           jnp.where(st == 2, 153.0 / 128.0, 0.0))
+        b_coef = jnp.where(st == 1, 15.0 / 16.0,
+                           jnp.where(st == 2, 8.0 / 15.0, 1.0))
+        first = st == 0
+
+        def upd(q_b, y_b, tend, y_val):
+            q_new = jnp.where(first, dt * tend, dt * tend - c_coef * q_b[:])
+            # stage 1 adds q/3 via *division*, exactly like lib/libprop.py:694
+            y_new = jnp.where(first, y_val + q_new / 3.0,
+                              y_val + b_coef * q_new)
+            q_b[:] = q_new
+            y_b[:] = y_new
+            return y_new
+
+        if not online:
+            # pre-step state for the stage-4 FD rates, captured before the
+            # work buffers are overwritten with the stage-1 result
+            rp_b[:] = jnp.where(first, r, rp_b[:])
+            mp_b[:] = jnp.where(first, m, mp_b[:])
+        dens_new = upd(qd_b, dens_b, dens_st, dens)
+        upd(qr_b, r_b, drr_st, r)
+        upd(qm_b, m_b, dmm_st, m)
+        if online:
+            # dens_prop ≡ the post-step density in online mode; only the
+            # final step's value is streamed out (pp_phase)
+            pp_b[:] = dens_new
+
+    def _stage_tile():
+        dens = dens_b[:]
+        r = r_b[:]
+        m = m_b[:]
+        k = k_ref[:]
+        l = l_ref[:]
+        dr = dr_ref[:]
+        act = act_ref[:]
+        amask = act > 0
+
+        ff2 = ff2_ref[:]
+        kh2 = kh2_ref[:]
+        pv = pv_ref[:]
+        k2 = kh2 + m * m
+        om = jnp.sqrt((bvf * bvf * kh2 + ff2 * m * m) / k2)
+        cgr = -m * (om * om - ff2) / om / k2        # lib/libprop.py:434-448
+        r_fin = r + cgr * dt
+        fv = cgr * dens / dz
+        r_lo = r - 0.5 * dr
+        r_up = r + 0.5 * dr
+        nlow = (r_lo / dz).astype(jnp.int32)
+        nup = (r_up / dz + 1.0).astype(jnp.int32)
+        ood = ((nlow >= nzmax_i) & (nup >= nzmax_i)) \
+            | ((nlow <= 0) & (nup <= 0))
+        live = amask & ~ood
+        fvk = jnp.where(live, fv * k * pv, 0.0)
+        fvl = jnp.where(live, fv * l * pv, 0.0)
+        nlow = jnp.clip(nlow, 0, nzmax_i)
+        nup = jnp.clip(nup, 0, nzmax_i)
+
+        # --- per-tile window from the tile's own touched-cell bounds -------
+        qf_t = (jnp.clip(r, g0f, hi_f) - g0f) / dz
+        qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) / dz
+        lo_t = jnp.minimum(
+            jnp.minimum(jnp.floor(qf_t), jnp.floor(qr_t)) - 1.0,
+            nlow.astype(jnp.float32))
+        hi_t = jnp.maximum(
+            jnp.maximum(jnp.floor(qf_t), jnp.floor(qr_t)) + 2.0,
+            nup.astype(jnp.float32))
+        lo_t = jnp.where(amask, lo_t, 1e9)
+        hi_t = jnp.where(amask, hi_t, -1e9)
+        win = jnp.clip((jnp.min(lo_t).astype(jnp.int32) // 8) * 8,
+                       0, c_pad - W)
+        winf = win.astype(jnp.float32)
+        ok = jnp.max(hi_t) - winf <= W
+
+        def finish(du_rows, dv_rows, rho_rows):
+            du_t = jnp.stack(du_rows)
+            dv_t = jnp.stack(dv_rows)
+            dmm_st = -(k * du_t + l * dv_t)         # lib/libprop.py:519
+            if online:
+                rho_t = jnp.stack(rho_rows)
+                m_fin = m + dmm_st * dt
+                omh = jnp.sqrt(
+                    (bvf * bvf * kh2 + f0 * f0 * m * m) / k2)
+                cap = (
+                    kappa * kappa * 0.5 * rho_t * omh * bvf * bvf
+                    / (m_fin * m_fin) / (omh * omh - f0 * f0)
+                )
+                # pvb = dkk·dll·area; dmm_final = area/dr (area preservation)
+                pvol = pvb_ref[:] / dr
+                cap_applied = cap if faithful else cap / pvol
+                exceed = cap < dens * pvol
+                dens_st = jnp.where(exceed & amask,
+                                    (cap_applied - dens) / dt, 0.0)
+            else:
+                dens_st = jnp.zeros_like(dens)
+            drr_st = jnp.where(amask, cgr, 0.0)
+            dmm_st = jnp.where(amask, dmm_st, 0.0)
+            return dens_st, drr_st, dmm_st
+
+        @pl.when(ok)
+        def _windowed():
+            tabw = tabs_m[pl.ds(win, W), :]                 # (W, 8)
+            tab_du = tabw[:, 0:1]
+            tab_dv = tabw[:, 1:2]
+            tab_rho = tabw[:, 2:3]
+            gflo = g0c + (winf + col_win) * dz
+            gfhi = gflo + dz
+            colw = col_win_i + win
+
+            du_rows, dv_rows, rho_rows = [], [], []
+            tile_acc = jnp.zeros((W, 8), jnp.float32)
+            for j in range(T):
+                rj = r[j, :][None, :]
+                Bf = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(
+                        (jnp.clip(rj, g0f, hi_f) - g0f) / dz
+                        - winf - col_win))
+                du_rows.append(jnp.sum(tab_du * Bf, axis=0))
+                dv_rows.append(jnp.sum(tab_dv * Bf, axis=0))
+                if online:
+                    rfj = r_fin[j, :][None, :]
+                    Br = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(
+                            (jnp.clip(rfj, g0c, hi_c) - g0c) / dz
+                            - winf - col_win))
+                    rho_rows.append(jnp.sum(tab_rho * Br, axis=0))
+
+                in_span = (colw >= nlow[j, :][None, :]) \
+                    & (colw < nup[j, :][None, :])
+                wmat = jnp.where(
+                    in_span,
+                    jnp.abs(jnp.minimum(gfhi, r_up[j, :][None, :])
+                            - jnp.maximum(gflo, r_lo[j, :][None, :])),
+                    0.0,
+                )                                           # (W, LANE)
+                fv8 = jnp.concatenate(
+                    [fvk[j, :][None, :], fvl[j, :][None, :],
+                     jnp.zeros((6, LANE), jnp.float32)], axis=0)
+                tile_acc = tile_acc + dot(wmat, fv8, ((1,), (1,)))
+
+            dens_st, drr_st, dmm_st = finish(du_rows, dv_rows, rho_rows)
+            _rk3_update(dens_st, drr_st, dmm_st, dens, r, m)
+            kahan_acc(tile_acc, pl.ds(win, W))
+
+        @pl.when(~ok)
+        def _full():
+            tab_rows = dot(
+                jnp.concatenate([jnp.eye(3, dtype=jnp.float32),
+                                 jnp.zeros((3, 5), jnp.float32)], axis=1),
+                tabs_m[:], ((1,), (1,)),
+            )                                               # (3, c_pad)
+            shear_rows = tab_rows[0:2, :]
+            rho_row = tab_rows[2:3, :]
+            gflo = g0c + col_full_f * dz
+            gfhi = gflo + dz
+
+            du_rows, dv_rows, rho_rows = [], [], []
+            tile_acc = jnp.zeros((c_pad, 8), jnp.float32)
+            for j in range(T):
+                rj = r[j, :][None, :]
+                Bf = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(
+                        (jnp.clip(rj, g0f, hi_f) - g0f) / dz - col_full_f))
+                sh2 = dot(shear_rows, Bf, ((1,), (0,)))
+                du_rows.append(sh2[0, :])
+                dv_rows.append(sh2[1, :])
+                if online:
+                    rfj = r_fin[j, :][None, :]
+                    Br = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(
+                            (jnp.clip(rfj, g0c, hi_c) - g0c) / dz
+                            - col_full_f))
+                    rho_rows.append(dot(rho_row, Br, ((1,), (0,)))[0, :])
+
+                in_span = (col_full >= nlow[j, :][None, :]) \
+                    & (col_full < nup[j, :][None, :])
+                wmat = jnp.where(
+                    in_span,
+                    jnp.abs(jnp.minimum(gfhi, r_up[j, :][None, :])
+                            - jnp.maximum(gflo, r_lo[j, :][None, :])),
+                    0.0,
+                )                                           # (c_pad, LANE)
+                fv8 = jnp.concatenate(
+                    [fvk[j, :][None, :], fvl[j, :][None, :],
+                     jnp.zeros((6, LANE), jnp.float32)], axis=0)
+                tile_acc = tile_acc + dot(wmat, fv8, ((1,), (1,)))
+
+            dens_st, drr_st, dmm_st = finish(du_rows, dv_rows, rho_rows)
+            _rk3_update(dens_st, drr_st, dmm_st, dens, r, m)
+            kahan_acc(tile_acc, pl.ds(0, c_pad))
+
+        # --- stage completion: flux -> wind (last tile of the stage) -------
+        @pl.when(tl == n_tiles - 1)
+        def _():
+            if prognostic:
+                grad = jax.lax.dot_general(
+                    maps_ref[c_pad:2 * c_pad, :], acc_ref[:],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                           # (c_pad, 8)
+                uvT = uv_s[:]
+                du_col = f0 * uvT[:, 1:2] \
+                    - (cols_ref[:, 1:2] + grad[:, 0:1]) * cols_ref[:, 3:4]
+                dv_col = -f0 * uvT[:, 0:1] \
+                    - (cols_ref[:, 2:3] + grad[:, 1:2]) * cols_ref[:, 3:4]
+                duv = jnp.concatenate(
+                    [du_col, dv_col, jnp.zeros((c_pad, 6), jnp.float32)],
+                    axis=1)
+                first = st == 0
+                c_coef = jnp.where(st == 1, 5.0 / 9.0,
+                                   jnp.where(st == 2, 153.0 / 128.0, 0.0))
+                b_coef = jnp.where(st == 1, 15.0 / 16.0,
+                                   jnp.where(st == 2, 8.0 / 15.0, 1.0))
+                q_new = jnp.where(first, dt * duv, dt * duv - c_coef * quv[:])
+                uv_s[:] = jnp.where(first, uvT + q_new / 3.0,
+                                    uvT + b_coef * q_new)
+                quv[:] = q_new
+            uv_o[:] = uv_s[:]
+
+    def _offline_saturation_tile():
+        # driver-side direct saturation with FD rates across the completed
+        # step (raytracer.py:182-188 -> lib/libprop.py:561-610), including
+        # quirk 2 (the height rate divided by RDIV=1 in faithful mode)
+        rdiv = params_ref[_RDIV]
+        r_p = rp_b[:]
+        m_p = mp_b[:]
+        r_n = r_b[:]
+        m_n = m_b[:]
+        dens_n = dens_b[:]
+        dr = dr_ref[:]
+        act = act_ref[:]
+        amask = act > 0
+
+        r_rate = (r_n - r_p) / rdiv
+        m_rate = (m_n - m_p) / dt
+        r_fin = r_p + r_rate * dt                  # lib/libprop.py:591
+        m_fin = m_p + m_rate * dt
+        pvb = pvb_ref[:]
+
+        # ρ̄ at the extrapolated height: per-tile window, full-width fallback
+        qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) / dz
+        lo_t = jnp.where(amask, jnp.floor(qr_t) - 1.0, 1e9)
+        hi_t = jnp.where(amask, jnp.floor(qr_t) + 2.0, -1e9)
+        win = jnp.clip((jnp.min(lo_t).astype(jnp.int32) // 8) * 8,
+                       0, c_pad - W)
+        winf = win.astype(jnp.float32)
+        ok = jnp.max(hi_t) - winf <= W
+
+        @pl.when(ok)
+        def _win():
+            tab_rho = tabs_m[pl.ds(win, W), 2:3]
+            rows = []
+            for j in range(T):
+                rfj = r_fin[j, :][None, :]
+                Br = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(
+                        (jnp.clip(rfj, g0c, hi_c) - g0c) / dz
+                        - winf - col_win))
+                rows.append(jnp.sum(tab_rho * Br, axis=0))
+            pp_b[:] = jnp.stack(rows)      # pp buffer doubles as ρ̄ temp
+
+        @pl.when(~ok)
+        def _fullw():
+            rho_row = jax.lax.dot_general(
+                jnp.concatenate([jnp.zeros((1, 2), jnp.float32),
+                                 jnp.ones((1, 1), jnp.float32),
+                                 jnp.zeros((1, 5), jnp.float32)], axis=1),
+                tabs_m[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                      # (1, c_pad)
+            rows = []
+            for j in range(T):
+                rfj = r_fin[j, :][None, :]
+                Br = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(
+                        (jnp.clip(rfj, g0c, hi_c) - g0c) / dz - col_full_f))
+                rho = jax.lax.dot_general(
+                    rho_row, Br,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                rows.append(rho[0, :])
+            pp_b[:] = jnp.stack(rows)
+
+        rho_t = pp_b[:]
+        kh2 = kh2_ref[:]
+        omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m_p * m_p)
+                       / (kh2 + m_p * m_p))        # pre-step m, phi0
+        cap = (
+            kappa * kappa * 0.5 * rho_t * omh * bvf * bvf
+            / (m_fin * m_fin) / (omh * omh - f0 * f0)
+        )
+        # dmm_fin = area/dr (dr rate is exactly 0); pvb = dkk·dll·area
+        pvol = pvb / dr
+        cap_applied = cap if faithful else cap / pvol
+        exceed = (cap < dens_n * pvol) & amask
+        dens_b[:] = jnp.where(exceed, cap_applied, dens_n)
+        pp_b[:] = dens_n                           # propagated (pre-sat)
+
+    if online:
+        _stage_tile()
+    else:
+        pl.when(st < 3)(_stage_tile)
+        pl.when(st == 3)(_offline_saturation_tile)
+
+    # updated slabs back to the HBM state; waited by the next body
+    dma_all("store")
+
+    @pl.when(pp_phase)
+    def _():
+        # final step's dens_prop slab (waited at the next body's start, or
+        # below for the very last body)
+        pltpu.make_async_copy(pp_b, pp_h.at[slab, :], pp_sem).start()
+
+    @pl.when(last_body)
+    def _():
+        wait_all(store_sem)
+        pltpu.make_async_copy(pp_b, pp_b, pp_sem).wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_steps", "n_tab", "n_flux_cells", "w_cells",
+                     "online", "prognostic", "faithful", "interpret"),
+)
+def _streamkernel_call(
+    params, maps, cols, uvT,
+    k, l, dr, pv, ff2, kh2, pvb, act,
+    dens, r, m,
+    n_steps: int, n_tab: int, n_flux_cells: int, w_cells: int,
+    online: bool, prognostic: bool, faithful: bool, interpret: bool,
+):
+    n_rows = r.shape[0]
+    n_tiles = n_rows // TILE_ROWS
+    c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
+    kernel = functools.partial(
+        _kernel, n_tab=n_tab, n_flux_cells=n_flux_cells, c_pad=c_pad,
+        w_cells=w_cells, online=online, prognostic=prognostic,
+        faithful=faithful,
+    )
+    n_st = 3 if online else 4
+    n_arr = 6 if online else 8
+    tile = pl.BlockSpec((TILE_ROWS, LANE), lambda i, s, t: (t, 0))
+    col8 = pl.BlockSpec((c_pad, 8), lambda i, s, t: (0, 0))
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    big = jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32)
+
+    # outputs: dens/r/m (aliased), q registers (+ offline pre-step state),
+    # dens_prop — all unblocked ANY (HBM) — and the final wind
+    n_out_any = n_arr + 1
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_steps, n_st, n_tiles),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM),
+             pl.BlockSpec((2 * c_pad, c_pad), lambda i, s, t: (0, 0)),
+             col8, col8]
+            + [tile] * 8                     # frozen per-ray fields
+            + [anyspec] * 3                  # dens, r, m (aliased in-place)
+        ),
+        out_specs=tuple([anyspec] * n_out_any + [col8]),
+        out_shape=tuple([big] * n_out_any
+                        + [jax.ShapeDtypeStruct((c_pad, 8), jnp.float32)]),
+        input_output_aliases={12: 0, 13: 1, 14: 2},
+        scratch_shapes=(
+            [pltpu.VMEM((TILE_ROWS, LANE), jnp.float32)
+             for _ in range(n_arr)]          # slab work buffers
+            + [
+                pltpu.VMEM((TILE_ROWS, LANE), jnp.float32),  # pp buffer
+                pltpu.VMEM((c_pad, 8), jnp.float32),   # stage tables
+                pltpu.VMEM((c_pad, 8), jnp.float32),   # flux accumulator
+                pltpu.VMEM((c_pad, 8), jnp.float32),   # Kahan compensation
+                pltpu.VMEM((c_pad, 8), jnp.float32),   # q_uv
+                pltpu.VMEM((c_pad, 8), jnp.float32),   # wind (whole-run)
+                pltpu.SemaphoreType.DMA((n_arr,)),     # load semaphores
+                pltpu.SemaphoreType.DMA((n_arr,)),     # store semaphores
+                pltpu.SemaphoreType.DMA(()),           # dens_prop semaphore
+            ]
+        ),
+        interpret=interpret,
+    )(params, maps, cols, uvT, k, l, dr, pv, ff2, kh2, pvb, act,
+      dens, r, m)
+    dens_n, r_n, m_n = outs[0], outs[1], outs[2]
+    pp = outs[n_arr]
+    uv = outs[-1]
+    return dens_n, r_n, m_n, uv, pp
+
+
+def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False):
+    """Whole-run streaming megakernel driver: same contract and history
+    framing as :func:`msgwam_tpu.ops.step_pallas.simulate_resident`, with
+    no VMEM capacity limit.  ``run.n_steps`` runs as
+    ``n_steps // save_every`` launches of ``save_every`` in-kernel RK3
+    steps each.
+    """
+    from ..state import RayState, MeanState, State
+    from .step_pallas import build_operators
+
+    if cfg.hprop:
+        raise ValueError("simulate_streaming requires hprop=False")
+    if cfg.cull or cfg.relaunch:
+        raise ValueError(
+            "simulate_streaming does not support culling/relaunch; "
+            "use simulate()"
+        )
+    for name, arr in (("state.rays.dens", state.rays.dens),
+                      ("state.mean.u", state.mean.u)):
+        got = jnp.asarray(arr).dtype
+        if got != np.float32:
+            raise TypeError(
+                f"simulate_streaming computes in float32 but {name} has "
+                f"dtype {got}; build the state with dtype=float32 (or use "
+                f"simulate() for the f64 parity path)"
+            )
+    if run.n_steps % run.save_every:
+        raise ValueError("n_steps must be divisible by save_every")
+
+    rays, mean = state.rays, state.mean
+    n = rays.r.shape[0]
+    n_tab = bg.centers.shape[0]
+    n_flux_cells = n_tab - 1
+    c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
+    maps, cols = build_operators(bg, cfg, n_tab, c_pad)
+
+    f0 = 2.0 * ROT_EARTH * np.sin(float(cfg.phi0))
+    centers_np = np.asarray(bg.centers, np.float64)
+    faces_np = np.asarray(bg.faces, np.float64)
+    dz = np.float32(centers_np[1] - centers_np[0])
+    rdiv = 1.0 if cfg.faithful_offline_rates else float(run.dt)
+    params = jnp.asarray(np.array([
+        np.float32(centers_np[0]), dz, np.float32(faces_np[1]),
+        np.float32(run.dt), np.float32(cfg.bvf), np.float32(cfg.kappa),
+        np.float32(f0), np.float32(rdiv),
+    ], dtype=np.float32))
+
+    pad_unit = TILE_ROWS * LANE
+    n_pad = _ceil_to(max(n, pad_unit), pad_unit)
+    pad = n_pad - n
+
+    def shape2(x, fill=None):
+        # pad by replicating the last slot (same rationale as the resident
+        # kernel: constant fills put pad rows on a different window path)
+        x = jnp.asarray(x).astype(jnp.float32)
+        if fill is not None:
+            return jnp.pad(x, (0, pad), constant_values=fill).reshape(-1, LANE)
+        return jnp.pad(x, (0, pad), mode="edge").reshape(-1, LANE)
+
+    def colpad(u, v):
+        out = jnp.zeros((c_pad, 8), jnp.float32)
+        out = out.at[: u.shape[0], 0].set(jnp.asarray(u).astype(jnp.float32))
+        out = out.at[: v.shape[0], 1].set(jnp.asarray(v).astype(jnp.float32))
+        return out
+
+    # frozen fields + per-ray run constants, precomputed once (hprop off)
+    kf = shape2(rays.k)
+    lf = shape2(rays.l)
+    drf = shape2(rays.dr)
+    phif = shape2(rays.phi)
+    dkkf = shape2(statics.dkk)
+    dllf = shape2(statics.dll)
+    dmf = shape2(rays.dm)
+    areaf = shape2(statics.rr_mm_area)
+    sphi = jnp.sin(phif)
+    statics_fields = (
+        kf, lf, drf,
+        jnp.abs(dkkf * dllf * dmf),                       # pv
+        (2.0 * ROT_EARTH) ** 2 * sphi * sphi,             # ff2
+        kf * kf + lf * lf,                                # kh2
+        dkkf * dllf * areaf,                              # pvb
+        shape2(statics.active.astype(jnp.float32), fill=0.0),
+    )
+
+    w_cells = min(_ceil_to(max(cfg.window_cells, WIN), 8), c_pad) \
+        if cfg.window_cells > 0 else WIN
+    interpret = jax.default_backend() != "tpu"
+    unshape = lambda x: x.reshape(-1)[:n]
+    online = bool(cfg.saturate_online)
+
+    def chunk(carry, _):
+        dens, r, m, uvT = carry
+        dens, r, m, uvT, pp = _streamkernel_call(
+            params, maps, cols, uvT, *statics_fields,
+            dens, r, m,
+            n_steps=run.save_every, n_tab=n_tab,
+            n_flux_cells=n_flux_cells, w_cells=w_cells,
+            online=online,
+            prognostic=bool(cfg.prognostic_mean),
+            faithful=bool(cfg.faithful_saturation),
+            interpret=interpret,
+        )
+        return (dens, r, m, uvT), (dens, r, m, uvT, pp)
+
+    carry0 = (shape2(rays.dens), shape2(rays.r), shape2(rays.m),
+              colpad(mean.u, mean.v))
+    n_outer = run.n_steps // run.save_every
+    carry, hist = jax.lax.scan(chunk, carry0, None, length=n_outer)
+
+    n_cell = mean.u.shape[0]
+
+    def to_state(dens, r, m, uvT, like_dtype):
+        rs = RayState(
+            dens=unshape(dens).astype(like_dtype),
+            lam=rays.lam, phi=rays.phi,
+            r=unshape(r).astype(like_dtype), dr=rays.dr,
+            k=rays.k, l=rays.l,
+            m=unshape(m).astype(like_dtype), dm=rays.dm,
+        )
+        ms = MeanState(uvT[:n_cell, 0].astype(like_dtype),
+                       uvT[:n_cell, 1].astype(like_dtype))
+        return State(rs, ms)
+
+    final = to_state(*carry, rays.dens.dtype)
+
+    hd, hr, hm, huv, hpp = hist
+    frames = [
+        to_state(hd[t], hr[t], hm[t], huv[t], rays.dens.dtype)
+        for t in range(n_outer)
+    ]
+    prop_frames = [
+        unshape(hpp[t]).astype(rays.dens.dtype) for t in range(n_outer)
+    ]
+    if include_t0:
+        frames = [state] + frames
+        prop_frames = [state.rays.dens] + prop_frames
+    history_state = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
+    active_hist = jnp.broadcast_to(
+        statics.active, (len(frames),) + statics.active.shape
+    )
+    history = (history_state, active_hist, jnp.stack(prop_frames))
+    return final, statics, history

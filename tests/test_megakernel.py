@@ -110,6 +110,97 @@ def test_megakernel_guard_rails():
     with pytest.raises(ValueError, match="culling"):
         simulate_resident(state, statics, bg,
                           cfg.replace(cull=True), run)
-    with pytest.raises(ValueError, match="VMEM-resident"):
-        rays, st2 = mt.pad_rays(state.rays, statics, 262144)
-        simulate_resident(mt.State(rays, state.mean), st2, bg, cfg, run)
+
+
+def _to_f64(tree):
+    return jax.tree.map(
+        lambda x: x.astype(jnp.float64)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, tree)
+
+
+def test_megakernel_deposit_accuracy_vs_f64_oracle():
+    """Deposit-accuracy proof for the megakernel's Kahan-compensated
+    in-kernel flux accumulation (VERDICT r2): one prognostic step at a
+    multi-tile size, and the wind increment — with phi0=0 a *pure* flux
+    observable (Coriolis and pressure-gradient terms vanish,
+    lib/libprop.py:523-539) — stays within 1e-6 relative of the float64
+    oracle through the parity-grade xla backends."""
+    n = 4096  # 32 rows -> 4 tiles: the accumulator combines 4 partials
+    cfg, bg, state, statics = _setup(n=n, pad_to=n)
+    run = mt.RunConfig(dt=120.0, n_steps=1, save_every=1)
+    b, _, _ = simulate_resident(state, statics, bg, cfg, run)
+    du32 = np.asarray(b.mean.u, np.float64) - np.asarray(state.mean.u,
+                                                         np.float64)
+
+    cfg64 = cfg.replace(dtype="float64", projection_backend="xla",
+                        interp_backend="gather", rhs_backend="xla",
+                        window_cells=0)
+    gc = mt.GridConfig()
+    uu64 = np.asarray(state.mean.u, np.float64)
+    bg64 = mt.make_background(gc, cfg64, uu64, np.zeros_like(uu64))
+    a, _, _ = mt.simulate(_to_f64(state), _to_f64(statics), bg64, cfg64, run)
+    du64 = np.asarray(a.mean.u) - uu64
+
+    err = np.max(np.abs(du32 - du64)) / np.max(np.abs(du64))
+    assert err < 1e-6, err
+
+
+@pytest.mark.slow
+def test_megakernel_deposit_accuracy_at_capacity():
+    """Same f64-oracle comparison at the full 131,072-ray VMEM capacity
+    (16 Kahan-combined 64-row tiles — the exact configuration of the
+    metric of record)."""
+    n = 131072
+    cfg, bg, state, statics = _setup(n=n, pad_to=n)
+    run = mt.RunConfig(dt=120.0, n_steps=1, save_every=1)
+    b, _, _ = simulate_resident(state, statics, bg, cfg, run)
+    du32 = np.asarray(b.mean.u, np.float64) - np.asarray(state.mean.u,
+                                                         np.float64)
+
+    cfg64 = cfg.replace(dtype="float64", projection_backend="xla",
+                        interp_backend="gather", rhs_backend="xla",
+                        window_cells=0)
+    gc = mt.GridConfig()
+    uu64 = np.asarray(state.mean.u, np.float64)
+    bg64 = mt.make_background(gc, cfg64, uu64, np.zeros_like(uu64))
+    a, _, _ = mt.simulate(_to_f64(state), _to_f64(statics), bg64, cfg64, run)
+    du64 = np.asarray(a.mean.u) - uu64
+
+    err = np.max(np.abs(du32 - du64)) / np.max(np.abs(du64))
+    assert err < 1e-6, err
+
+
+@pytest.mark.slow
+def test_megakernel_long_horizon_matches_scan_path():
+    """>=100-step trajectory consistency (VERDICT r2).  The coupled system
+    amplifies f32 rounding (measured: a 1e-7 relative kick to the initial
+    density spreads to ~1e-3 in r and ~8e-3 in u over 100 steps), so a
+    fixed tight tolerance would test chaos, not the kernel.  Instead the
+    scan path's own sensitivity to a 1e-7 perturbation *calibrates* the
+    bound: the megakernel must stay within 3x the scan path's intrinsic
+    f32 spread on every field."""
+    cfg, bg, state, statics = _setup(n=1000, pad_to=1024)
+    run = mt.RunConfig(dt=120.0, n_steps=100, save_every=100)
+    a, _, _ = mt.simulate(state, statics, bg, cfg, run)
+    b, _, _ = simulate_resident(state, statics, bg, cfg, run)
+    # intrinsic sensitivity of the trajectory itself
+    sp = state._replace(
+        rays=state.rays._replace(dens=state.rays.dens * (1.0 + 1e-7)))
+    c, _, _ = mt.simulate(sp, statics, bg, cfg, run)
+    for field in ("dens", "r", "m"):
+        diff = _rel(getattr(a.rays, field), getattr(b.rays, field))
+        spread = _rel(getattr(a.rays, field), getattr(c.rays, field))
+        assert diff < 3.0 * max(spread, 1e-6), (field, diff, spread)
+    diff = _rel(a.mean.u, b.mean.u)
+    spread = _rel(a.mean.u, c.mean.u)
+    assert diff < 3.0 * max(spread, 1e-6), ("u", diff, spread)
+
+
+def test_megakernel_rejects_f64_state():
+    """The kernel computes in f32; an f64 parity-config state must raise,
+    not silently down-cast (ADVICE r2)."""
+    cfg, bg, state, statics = _setup(n=300, pad_to=512)
+    run = mt.RunConfig(dt=120.0, n_steps=2, save_every=2)
+    with pytest.raises(TypeError, match="float32"):
+        simulate_resident(_to_f64(state), _to_f64(statics), bg,
+                          cfg.replace(dtype="float64"), run)
