@@ -51,9 +51,11 @@ def build(cfg, n_ray, source_kind="spectrum", dtype=jnp.float32, u_amp=True):
     return gc, bg, state, statics
 
 
-def time_steps(cfg, bg, state, statics, n_steps=50, source=None):
+def time_steps(cfg, bg, state, statics, n_steps=50, source=None,
+               wind_fn=None):
     run = mt.RunConfig(dt=120.0, n_steps=n_steps, save_every=n_steps)
-    f = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run, source=source))
+    f = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run, source=source,
+                                          wind_fn=wind_fn))
     t0 = time.perf_counter()
     out = f(state, statics)
     jax.block_until_ready(out)
@@ -214,19 +216,135 @@ def config_ladder(backend, dtype):
               f"{rs/BASELINE_RAY_STEPS:>7.0f}x")
 
 
+def _time_resident(cfg, bg, state, statics, n_steps=1000):
+    """Whole-run megakernel timing (resident <= 131k rays, streaming
+    above) — per-step time over n_steps in ONE launch, so the tunneled
+    backend's ~25 ms dispatch constant amortizes away."""
+    from msgwam_tpu.ops.step_pallas import simulate_resident
+
+    run = mt.RunConfig(dt=120.0, n_steps=n_steps, save_every=n_steps)
+    f = jax.jit(lambda s, st: simulate_resident(s, st, bg, cfg, run))
+    t0 = time.perf_counter()
+    out = f(state, statics)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = f(state, statics)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best / n_steps, compile_s
+
+
+def config_ladder_champion(dtype, n_steps=1000):
+    """BASELINE configs 0-5 through the round-3 champion backend for each
+    (VERDICT r2 #2): the whole-run megakernel wherever its scope allows
+    (0, 1, 2, 5 — per-member for the ensemble), and the adaptive-window
+    fused kernel through the scan path where the lifecycle machinery
+    (cull + relaunch + transient tidal wind) must run (config 4)."""
+    from msgwam_tpu.models.backgrounds import tidal_shear
+
+    mk = lambda **kw: mt.REFERENCE_RUN_CONFIG.replace(
+        dtype=str(np.dtype(dtype)),
+        projection_backend="mxu", interp_backend="mxu", **kw)
+    rows = []
+
+    # 0: single packet, static U(z) — megakernel, offline saturation
+    cfg = mk(saturate_online=False)
+    gc, bg, state, statics = build(cfg, 60, source_kind="packet", dtype=dtype)
+    rows.append(("0: packet, static bg (60)", 60, "mega",
+                 *_time_resident(cfg, bg, state, statics, n_steps)))
+
+    # 1: 1e3 spectrum, fixed background — megakernel
+    cfg = mk(saturate_online=False)
+    gc, bg, state, statics = build(cfg, 1000, dtype=dtype)
+    rows.append(("1: 1e3 spectrum, fixed bg", 1000, "mega",
+                 *_time_resident(cfg, bg, state, statics, n_steps)))
+
+    # 2: 1e4 coupled — megakernel, online saturation
+    cfg = mk(saturate_online=True)
+    gc, bg, state, statics = build(cfg, 10_000, dtype=dtype)
+    rows.append(("2: 1e4 coupled", 10_000, "mega",
+                 *_time_resident(cfg, bg, state, statics, n_steps)))
+
+    # 4: 1e5, transient tidal shear + critical-level cull + relaunch —
+    # adaptive-window fused kernel through the scan path (the lifecycle
+    # machinery needs simulate()); imposed wind => non-prognostic mean
+    cfg = mk(saturate_online=True, cull=True, relaunch=True,
+             m_max=2 * np.pi / 300.0, rhs_backend="pallas",
+             prognostic_mean=False)
+    gc, bg, state, statics = build(cfg, 100_000, dtype=dtype)
+    source = mt.gaussian_spectrum_source(
+        cfg, bg, 100_000, z_launch=2000.0, dz_launch=500.0,
+        amplitude_alpha=0.003, dtype=dtype)
+    centers = jnp.asarray(gc.centers(), dtype)
+    wf = lambda t: (tidal_shear(centers, t, cfg),
+                    jnp.zeros_like(centers))
+    rows.append(("4: 1e5 tidal+cull+relaunch", 100_000, "pallasw",
+                 *time_steps(cfg, bg, state, statics, n_steps=n_steps,
+                             source=source, wind_fn=wf)))
+
+    # 5: 1e6-ray ensemble, full coupling — megakernel per member (each
+    # 125k member fits the VMEM capacity), members sequential on one chip
+    from msgwam_tpu.ops.step_pallas import simulate_resident
+
+    cfg = mk(saturate_online=True)
+    gc, bg, state, statics = build(cfg, 125_000, dtype=dtype)
+    E = 8
+    run = mt.RunConfig(dt=120.0, n_steps=n_steps, save_every=n_steps)
+    f = jax.jit(lambda s, st: simulate_resident(s, st, bg, cfg, run))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(state, statics))
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        outs = [f(state, statics) for _ in range(E)]
+        jax.block_until_ready(outs)
+        best = min(best, time.perf_counter() - t0)
+    rows.append(("5: 1e6 ensemble (8x125k)", 1_000_000, "mega/member",
+                 best / n_steps, compile_s))
+
+    print(f"# BASELINE config ladder (champion backends) — "
+          f"dtype={np.dtype(dtype)}, device={jax.devices()[0].device_kind}, "
+          f"{n_steps} steps/launch")
+    print(f"{'config':<28} {'nray':>9} {'backend':<12} {'ms/step':>9} "
+          f"{'ray-steps/s':>13} {'vs ref':>8}")
+    out_rows = []
+    for name, n_ray, backend, per_step, compile_s in rows:
+        rs = n_ray / per_step
+        print(f"{name:<28} {n_ray:>9} {backend:<12} {per_step*1e3:>9.3f} "
+              f"{rs:>13.3e} {rs/BASELINE_RAY_STEPS:>7.0f}x")
+        out_rows.append({"config": name, "n_ray": n_ray, "backend": backend,
+                         "ms_per_step": round(per_step * 1e3, 4),
+                         "ray_steps_per_sec": round(rs, 1),
+                         "vs_baseline": round(rs / BASELINE_RAY_STEPS, 1),
+                         "compile_s": round(compile_s, 1)})
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "CONFIGS_r03.json")
+    with open(out, "w") as fjson:
+        json.dump(out_rows, fjson, indent=1)
+    print(f"wrote {out}")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", action="store_true")
     ap.add_argument("--roofline", action="store_true")
-    ap.add_argument("--backend", choices=["mxu", "xla", "pallas"],
+    ap.add_argument("--backend",
+                    choices=["mxu", "xla", "pallas", "champion"],
                     default="mxu")
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--steps", type=int, default=1000)
     args = ap.parse_args()
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     if args.roofline:
         roofline(args.backend, dtype)
+    elif args.configs and args.backend == "champion":
+        config_ladder_champion(dtype, args.steps)
     elif args.configs:
         config_ladder(args.backend, dtype)
     else:

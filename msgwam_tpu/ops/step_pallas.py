@@ -591,6 +591,50 @@ def build_operators(bg, cfg, n_tab: int, c_pad: int):
 
 
 def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
+    """Drop-in fast path for ``simulate``: runs whole RK3 steps in-kernel.
+
+    **Differentiable in (state, statics)**: carries a ``custom_vjp`` whose
+    backward pass differentiates the numerically equivalent XLA scan path
+    (the same pattern as the fused-RHS kernels, ``models/rhs.py:206-231``),
+    so ``jax.grad`` through a whole resident run matches the scan path —
+    tested in tests/test_megakernel.py.  ``bg`` is closed over, not
+    differentiated: the kernel's flux→wind operators are host-built from a
+    *concrete* background (it is run-constant), so it cannot be a traced
+    custom_vjp argument.  See :func:`_simulate_resident_impl` for the full
+    contract.
+    """
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+    def diff(s, st, cfg_, run_, inc):
+        return _simulate_resident_impl(s, st, bg, cfg_, run_, inc)
+
+    def fwd(s, st, cfg_, run_, inc):
+        return diff(s, st, cfg_, run_, inc), (s, st)
+
+    def bwd(cfg_, run_, inc, res, g):
+        # differentiate the equivalent dense-XLA scan path (same physics,
+        # same masks; kernels match at f32 tolerance so the gradients are
+        # consistent to the same order).  flux_accum is carried through.
+        from ..models.integrate import simulate
+
+        s, st = res
+        xla_cfg = cfg_.replace(rhs_backend="xla", window_cells=0,
+                               projection_backend="mxu",
+                               interp_backend="mxu")
+
+        def generic(s_, st_):
+            return simulate(s_, st_, bg, xla_cfg, run_,
+                            include_t0=inc, validate=False)
+
+        _, vjp = jax.vjp(generic, s, st)
+        return vjp(g)
+
+    diff.defvjp(fwd, bwd)
+    return diff(state, statics, cfg, run, bool(include_t0))
+
+
+def _simulate_resident_impl(state, statics, bg, cfg, run,
+                            include_t0: bool = False):
     """Drop-in fast path for ``simulate`` on VMEM-sized problems: runs
     ``run.n_steps`` steps as ``n_steps // save_every`` megakernel launches
     (each launch = ``save_every`` full RK3 steps resident in VMEM).

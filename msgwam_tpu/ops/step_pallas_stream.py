@@ -92,12 +92,10 @@ def _kernel(
         (dens_h, r_h, m_h, qd_h, qr_h, qm_h, rp_h, mp_h, pp_h, uv_o,
          *rest) = rest
         hbm = (dens_h, r_h, m_h, qd_h, qr_h, qm_h, rp_h, mp_h)
-    bufs = rest[:n_arr]
+    ib = rest[:n_arr]                  # double-buffered load targets
+    ob = rest[n_arr:2 * n_arr]         # double-buffered store sources
     (pp_b, tabs_m, acc_ref, comp_m, quv, uv_s,
-     load_sem, store_sem, pp_sem) = rest[n_arr:]
-    dens_b, r_b, m_b, qd_b, qr_b, qm_b = bufs[:6]
-    if not online:
-        rp_b, mp_b = bufs[6:8]
+     load_sem, store_sem, pp_sem) = rest[2 * n_arr:]
 
     step = pl.program_id(0)
     st = pl.program_id(1)             # 0-2: RK3 stages; 3 (offline): sat
@@ -120,38 +118,71 @@ def _kernel(
     last_body = (step == n_steps - 1) & (st == n_st - 1) \
         & (tl == n_tiles - 1)
     pp_phase = (step == n_steps - 1) & (st == n_st - 1)
-    slab = pl.ds(tl * T, T)
 
-    def dma_all(direction):
+    # --- double-buffered DMA pipeline -------------------------------------
+    # Linear body index g selects the buffer-set parity.  Loads for body g
+    # are issued as a *prefetch* during body g-1 (overlapped with its
+    # compute); stores from body g are issued at its end and waited only
+    # when the same out-buffer set is reused at body g+2.  In-buffers and
+    # out-buffers are separate, so prefetch loads never race pending
+    # stores.  HBM RAW (a tile's stage-s store vs its stage-(s+1) load,
+    # n_tiles bodies apart) is covered by the reuse wait for n_tiles >= 3
+    # (enforced by the driver).
+    g = (step * n_st + st) * n_tiles + tl
+    cur = g % 2
+    nxt = 1 - cur
+    ci = pl.ds(cur * T, T)
+    t_next = jnp.where(tl == n_tiles - 1, 0, tl + 1)
+
+    def issue_loads(set_idx, tile_idx):
+        hs = pl.ds(tile_idx * T, T)
+        bs = pl.ds(set_idx * T, T)
         for a in range(n_arr):
-            if direction == "load":
-                cp = pltpu.make_async_copy(
-                    hbm[a].at[slab, :], bufs[a], load_sem.at[a])
-            else:
-                cp = pltpu.make_async_copy(
-                    bufs[a], hbm[a].at[slab, :], store_sem.at[a])
-            cp.start()
+            pltpu.make_async_copy(
+                hbm[a].at[hs, :], ib[a].at[bs, :],
+                load_sem.at[set_idx, a]).start()
 
-    def wait_all(sem):
+    def wait_set(sem, set_idx):
+        ref = ib[0].at[pl.ds(0, T), :]
         for a in range(n_arr):
-            pltpu.make_async_copy(bufs[a], bufs[a], sem.at[a]).wait()
+            pltpu.make_async_copy(ref, ref, sem.at[set_idx, a]).wait()
 
-    # previous body's stores must land before this body reuses the buffers
-    @pl.when(~first_body)
+    class _RW:
+        """Read-from-in-buffer / write-to-out-buffer slab view."""
+
+        def __init__(self, i, o):
+            self.i, self.o = i, o
+
+        def __getitem__(self, _):
+            return self.i[ci, :]
+
+        def __setitem__(self, _, v):
+            self.o[ci, :] = v
+
+    dens_b, r_b, m_b, qd_b, qr_b, qm_b = (
+        _RW(ib[a], ob[a]) for a in range(6))
+    if not online:
+        rp_b, mp_b = _RW(ib[6], ob[6]), _RW(ib[7], ob[7])
+
+    @pl.when(g >= 2)
     def _():
-        wait_all(store_sem)
+        wait_set(store_sem, cur)       # out-buffer set reuse (body g-2)
 
-    # ... including the previous tile's dens_prop store, which reads pp_b
+    # the previous tile's dens_prop store reads pp_b — drain before reuse
     @pl.when(pp_phase & (tl > 0))
     def _():
         pltpu.make_async_copy(pp_b, pp_b, pp_sem).wait()
 
-    dma_all("load")
-    wait_all(load_sem)
-
     @pl.when(first_body)
     def _():
+        issue_loads(0, 0)
         uv_s[:] = uv0_ref[:]
+
+    wait_set(load_sem, cur)            # this body's loads (prefetched)
+
+    @pl.when(~last_body)
+    def _():
+        issue_loads(nxt, t_next)       # prefetch the next body's tile
 
     # --- per-stage setup (before any tile of this stage) -------------------
     @pl.when((tl == 0) & (st < 3))
@@ -488,6 +519,15 @@ def _kernel(
         exceed = (cap < dens_n * pvol) & amask
         dens_b[:] = jnp.where(exceed, cap_applied, dens_n)
         pp_b[:] = dens_n                           # propagated (pre-sat)
+        # copy-through: the store DMA reads the OUT-buffers, so every
+        # unchanged array must be forwarded through this phase explicitly
+        r_b[:] = r_n
+        m_b[:] = m_n
+        qd_b[:] = qd_b[:]
+        qr_b[:] = qr_b[:]
+        qm_b[:] = qm_b[:]
+        rp_b[:] = r_p
+        mp_b[:] = m_p
 
     if online:
         _stage_tile()
@@ -495,18 +535,23 @@ def _kernel(
         pl.when(st < 3)(_stage_tile)
         pl.when(st == 3)(_offline_saturation_tile)
 
-    # updated slabs back to the HBM state; waited by the next body
-    dma_all("store")
+    # updated slabs back to the HBM state; waited when this out-buffer set
+    # is reused two bodies later (or at the last body)
+    hs = pl.ds(tl * T, T)
+    for a in range(n_arr):
+        pltpu.make_async_copy(
+            ob[a].at[ci, :], hbm[a].at[hs, :], store_sem.at[cur, a]).start()
 
     @pl.when(pp_phase)
     def _():
         # final step's dens_prop slab (waited at the next body's start, or
         # below for the very last body)
-        pltpu.make_async_copy(pp_b, pp_h.at[slab, :], pp_sem).start()
+        pltpu.make_async_copy(pp_b, pp_h.at[hs, :], pp_sem).start()
 
     @pl.when(last_body)
     def _():
-        wait_all(store_sem)
+        wait_set(store_sem, cur)
+        wait_set(store_sem, nxt)       # stores issued by body g-1
         pltpu.make_async_copy(pp_b, pp_b, pp_sem).wait()
 
 
@@ -555,8 +600,10 @@ def _streamkernel_call(
                         + [jax.ShapeDtypeStruct((c_pad, 8), jnp.float32)]),
         input_output_aliases={12: 0, 13: 1, 14: 2},
         scratch_shapes=(
-            [pltpu.VMEM((TILE_ROWS, LANE), jnp.float32)
-             for _ in range(n_arr)]          # slab work buffers
+            [pltpu.VMEM((2 * TILE_ROWS, LANE), jnp.float32)
+             for _ in range(n_arr)]          # in-buffers (2 sets)
+            + [pltpu.VMEM((2 * TILE_ROWS, LANE), jnp.float32)
+               for _ in range(n_arr)]        # out-buffers (2 sets)
             + [
                 pltpu.VMEM((TILE_ROWS, LANE), jnp.float32),  # pp buffer
                 pltpu.VMEM((c_pad, 8), jnp.float32),   # stage tables
@@ -564,8 +611,8 @@ def _streamkernel_call(
                 pltpu.VMEM((c_pad, 8), jnp.float32),   # Kahan compensation
                 pltpu.VMEM((c_pad, 8), jnp.float32),   # q_uv
                 pltpu.VMEM((c_pad, 8), jnp.float32),   # wind (whole-run)
-                pltpu.SemaphoreType.DMA((n_arr,)),     # load semaphores
-                pltpu.SemaphoreType.DMA((n_arr,)),     # store semaphores
+                pltpu.SemaphoreType.DMA((2, n_arr)),   # load semaphores
+                pltpu.SemaphoreType.DMA((2, n_arr)),   # store semaphores
                 pltpu.SemaphoreType.DMA(()),           # dens_prop semaphore
             ]
         ),
@@ -626,7 +673,11 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False):
     ], dtype=np.float32))
 
     pad_unit = TILE_ROWS * LANE
-    n_pad = _ceil_to(max(n, pad_unit), pad_unit)
+    # >= 3 tiles: the double-buffered pipeline's HBM RAW bound (a tile's
+    # stage store is provably drained before its next-stage load only when
+    # the two are >= 3 bodies apart); smaller problems pad up — inactive
+    # slots cost little and the resident kernel owns that regime anyway
+    n_pad = _ceil_to(max(n, 3 * pad_unit), pad_unit)
     pad = n_pad - n
 
     def shape2(x, fill=None):

@@ -16,7 +16,9 @@ def test_bench_main_tiny(capsys):
     bench.main(n_ray=512, n_steps=5)
     line = capsys.readouterr().out.strip().splitlines()[-1]
     payload = json.loads(line)
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    # the driver contract keys, plus optional extras (e.g. the embedded
+    # 1e6 north-star measurement on full-size runs)
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
     assert payload["value"] > 0
 
 

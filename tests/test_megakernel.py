@@ -204,3 +204,100 @@ def test_megakernel_rejects_f64_state():
     with pytest.raises(TypeError, match="float32"):
         simulate_resident(_to_f64(state), _to_f64(statics), bg,
                           cfg.replace(dtype="float64"), run)
+
+
+# --- HBM-streaming variant (ops/step_pallas_stream.py) --------------------
+
+def test_streaming_matches_scan_path_online():
+    """The streaming megakernel (any-size variant of simulate_resident)
+    matches the scan path at f32 tolerance, including history framing and
+    the double-buffered DMA pipeline crossing stage boundaries."""
+    from msgwam_tpu.ops.step_pallas_stream import simulate_streaming
+
+    cfg, bg, state, statics = _setup(n=24576, pad_to=24576)
+    run = mt.RunConfig(dt=120.0, n_steps=4, save_every=2)
+    a, _, ha = mt.simulate(state, statics, bg, cfg, run)
+    b, _, hb = simulate_streaming(state, statics, bg, cfg, run)
+    assert _rel(a.rays.dens, b.rays.dens) < 3e-5
+    assert _rel(a.rays.r, b.rays.r) < 3e-5
+    assert _rel(a.rays.m, b.rays.m) < 3e-5
+    assert _rel(a.mean.u, b.mean.u) < 3e-5
+    ha_s, ha_a, _ = ha
+    hb_s, hb_a, _ = hb
+    assert hb_s.rays.dens.shape == ha_s.rays.dens.shape
+    np.testing.assert_array_equal(np.asarray(ha_a), np.asarray(hb_a))
+    assert _rel(ha_s.mean.u[0], hb_s.mean.u[0]) < 3e-5
+
+
+def test_streaming_offline_saturation_and_dens_prop():
+    """Offline direct saturation (the reference default, quirk 2 included)
+    as the streaming kernel's 4th grid phase: saturated trajectory and the
+    pre-saturation dens_prop channel both match the scan path."""
+    from msgwam_tpu.ops.step_pallas_stream import simulate_streaming
+
+    cfg, bg, state, statics = _setup(n=24576, pad_to=24576)
+    state = state._replace(
+        rays=state.rays._replace(dens=state.rays.dens * 50.0))
+    c = cfg.replace(saturate_online=False)
+    run = mt.RunConfig(dt=120.0, n_steps=4, save_every=2)
+    a, _, ha = mt.simulate(state, statics, bg, c, run)
+    b, _, hb = simulate_streaming(state, statics, bg, c, run)
+    assert _rel(a.rays.dens, b.rays.dens) < 3e-5
+    assert _rel(a.mean.u, b.mean.u) < 3e-5
+    assert _rel(ha[2], hb[2]) < 3e-5    # dens_prop
+    # the clamp actually fired in this configuration
+    assert np.any(np.asarray(a.rays.dens) != np.asarray(state.rays.dens))
+
+
+def test_resident_dispatches_to_streaming_above_capacity():
+    """simulate_resident transparently runs any ray count: above the
+    131,072-ray VMEM capacity it routes to the streaming kernel with the
+    same contract (VERDICT r2 'missing' #1)."""
+    from msgwam_tpu.ops import step_pallas_stream as sps
+
+    cfg, bg, state, statics = _setup(n=1000, pad_to=1024)
+    run = mt.RunConfig(dt=120.0, n_steps=2, save_every=2)
+    calls = []
+    orig = sps.simulate_streaming
+
+    def spy(*args, **kw):
+        calls.append(1)
+        return orig(*args, **kw)
+
+    sps.simulate_streaming = spy
+    try:
+        rays, st2 = mt.pad_rays(state.rays, statics, 262144)
+        big = mt.State(rays, state.mean)
+        out, _, hist = simulate_resident(big, st2, bg, cfg, run)
+        assert calls, "expected dispatch to the streaming kernel"
+        assert out.rays.dens.shape[0] == 262144
+        # small states still use the resident kernel
+        calls.clear()
+        simulate_resident(state, statics, bg, cfg, run)
+        assert not calls
+    finally:
+        sps.simulate_streaming = orig
+
+
+def test_simulate_resident_is_differentiable():
+    """jax.grad through a whole resident run (VERDICT r2 'missing' #2):
+    the custom_vjp backward differentiates the scan path, so gradients
+    match the XLA path's."""
+    cfg, bg, state, statics = _setup(n=300, pad_to=512)
+    run = mt.RunConfig(dt=120.0, n_steps=3, save_every=3)
+    xla_cfg = cfg.replace(rhs_backend="xla", window_cells=0)
+
+    def loss_for(sim):
+        def loss(scale):
+            s = state._replace(
+                rays=state.rays._replace(dens=state.rays.dens * scale))
+            final, _, _ = sim(s)
+            return jnp.sum((final.mean.u - state.mean.u) ** 2)
+        return loss
+
+    g_mega = jax.grad(loss_for(
+        lambda s: simulate_resident(s, statics, bg, cfg, run)))(1.0)
+    g_xla = jax.grad(loss_for(
+        lambda s: mt.simulate(s, statics, bg, xla_cfg, run)))(1.0)
+    assert np.isfinite(float(g_mega)) and float(g_mega) != 0.0
+    np.testing.assert_allclose(float(g_mega), float(g_xla), rtol=5e-4)
