@@ -58,7 +58,9 @@ from ..constants import ROT_EARTH
 LANE = 128
 TILE_ROWS = 64           # 8192 rays per tile
 MAX_ROWS = 1024          # 131,072 rays: ~12 MB of VMEM working set
-WIN = 32                 # per-tile window cells (8-aligned)
+WIN = 16                 # default per-tile window cells (8-aligned); the
+                         # round-2 W-scan found narrower windows always win
+                         # while blocks stay coherent (benchmarks/RESULTS.md)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -78,6 +80,7 @@ def _kernel(
     ff2_s, kh2_s, pv_s, comp_m,
     *, n_rows: int, n_tab: int, n_flux_cells: int, c_pad: int,
     tile_rows: int, online: bool, prognostic: bool, faithful: bool,
+    w_cells: int = WIN,
 ):
     step = pl.program_id(0)
     st = pl.program_id(1)            # 0-2: RK3 stages; 3 (offline): saturation
@@ -91,7 +94,7 @@ def _kernel(
     bvf = params_ref[_BVF]
     kappa = params_ref[_KAPPA]
     f0 = params_ref[_F0]
-    W = WIN
+    W = w_cells
     T = tile_rows
 
     @pl.when((step == 0) & (st == 0) & (tl == 0))
@@ -475,7 +478,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "n_tab", "n_flux_cells",
-                     "online", "prognostic", "faithful", "interpret"),
+                     "online", "prognostic", "faithful", "interpret",
+                     "w_cells"),
 )
 def _megakernel_call(
     params, maps, cols,
@@ -483,6 +487,7 @@ def _megakernel_call(
     k, l, dr, dm, phi, dkk, dll, area, act,
     n_steps: int, n_tab: int, n_flux_cells: int,
     online: bool, prognostic: bool, faithful: bool, interpret: bool,
+    w_cells: int = WIN,
 ):
     n_rows = r.shape[0]
     tile_rows = TILE_ROWS if n_rows % TILE_ROWS == 0 else 8
@@ -492,6 +497,7 @@ def _megakernel_call(
         _kernel, n_rows=n_rows, n_tab=n_tab, n_flux_cells=n_flux_cells,
         c_pad=c_pad, tile_rows=tile_rows, online=online,
         prognostic=prognostic, faithful=faithful,
+        w_cells=min(w_cells, c_pad),
     )
     whole = pl.BlockSpec((n_rows, LANE), lambda i, s, t: (0, 0))
     col8 = pl.BlockSpec((c_pad, 8), lambda i, s, t: (0, 0))
@@ -746,6 +752,8 @@ def _simulate_resident_impl(state, statics, bg, cfg, run,
 
     interpret = jax.default_backend() != "tpu"
     unshape = lambda x: x.reshape(-1)[:n]
+    w_cells = (min(_ceil_to(max(cfg.window_cells, WIN), 8), 128)
+               if cfg.window_cells > 0 else WIN)
 
     def chunk(carry, _):
         dens, r, m, uvT = carry
@@ -755,7 +763,7 @@ def _simulate_resident_impl(state, statics, bg, cfg, run,
             online=bool(cfg.saturate_online),
             prognostic=bool(cfg.prognostic_mean),
             faithful=bool(cfg.faithful_saturation),
-            interpret=interpret,
+            interpret=interpret, w_cells=w_cells,
         )
         return (dens, r, m, uvT), (dens, r, m, uvT, dens_prop)
 
