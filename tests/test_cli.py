@@ -85,3 +85,34 @@ def test_kernels_flag(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     d = np.load(out / "diagnostics.npz")
     assert np.all(np.isfinite(d["wave_action"]))
+
+
+def test_kernels_mega_flag(tmp_path):
+    """--kernels mega routes an eligible f32 run through the whole-run
+    megakernel (interpret mode on CPU); an ineligible config (f64
+    reference preset) prints the fallback reason and still succeeds."""
+    spec = {
+        "model": {"u0": 4.0, "phi0": 0.0, "kappa": 1.0, "hprop": False,
+                  "saturate_online": True, "rr0": 40000.0},
+        "grid": {"n_face": 101, "z_max": 100e3},
+        "run": {"dt": 120.0, "n_steps": 4, "save_every": 2},
+        "source": {"kind": "gaussian_spectrum", "n_ray": 300},
+        "background": "sine",
+        "dtype": "float32",
+    }
+    cfg_path = tmp_path / "mega.json"
+    cfg_path.write_text(json.dumps(spec))
+    out = tmp_path / "m"
+    r = _run(["run", "--config", str(cfg_path), "--out", str(out),
+              "--no-plot", "--kernels", "mega"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "falling back" not in r.stdout
+    d = np.load(out / "diagnostics.npz")
+    assert np.all(np.isfinite(d["wave_action"]))
+
+    # f64 reference preset: printed fallback, windowed kernel runs instead
+    out2 = tmp_path / "m64"
+    r2 = _run(["run", "--preset", "reference", "--steps", "4",
+               "--out", str(out2), "--no-plot", "--kernels", "mega"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "falling back" in r2.stdout
