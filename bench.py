@@ -39,10 +39,14 @@ import jax.numpy as jnp  # noqa: E402
 import msgwam_tpu as mt  # noqa: E402
 
 N_RAY = 100_000
-# 1000 steps so the fixed per-dispatch cost of the tunneled TPU backend
-# (~25 ms/call, measured by varying --steps: total = C + n*s) amortizes to
-# <3% of the measurement; at 100 steps it inflated per-step time ~2x.
-N_STEPS = 1000
+# The tunneled TPU backend costs ~21-25 ms per dispatch (measured by
+# varying --steps: total = C + n*s).  At the megakernel's ~0.1 ms/step
+# that still inflates a 1000-step launch ~20%, so the metric of record
+# runs 8000 steps in ONE whole-run kernel launch (measured plateau:
+# 1000→8000 steps took 119→101 us/step at 1e5).  Sizes >=1e6 (>=0.7
+# ms/step) keep 1000 steps, where the dispatch is <3.5%.
+N_STEPS = 8000
+N_STEPS_BIG = 1000
 DT = 120.0
 BASELINE_RAY_STEPS_PER_SEC = 3.0e4
 
@@ -152,15 +156,15 @@ def run_matrix(n_steps: int = N_STEPS) -> list:
     capacity boundary (131072), each through its champion backends, with
     window-fallback observability where it applies."""
     rows = []
-    for n_ray, backend in [
-        (100_000, "mega"),      # metric of record, VMEM-resident
-        (100_000, "pallasw"),
-        (131_072, "mega"),      # resident-kernel capacity point
-        (1_000_000, "mega"),    # north star, HBM-streaming megakernel
-        (1_000_000, "pallasw"),
-        (1_000_000, "mxu"),
+    for n_ray, backend, steps in [
+        (100_000, "mega", n_steps),      # metric of record, VMEM-resident
+        (100_000, "pallasw", n_steps),
+        (131_072, "mega", n_steps),      # resident-kernel capacity point
+        (1_000_000, "mega", N_STEPS_BIG),    # north star, HBM-streaming
+        (1_000_000, "pallasw", N_STEPS_BIG),
+        (1_000_000, "mxu", N_STEPS_BIG),
     ]:
-        rows.append(run_one(n_ray, n_steps, backend, fallback=True))
+        rows.append(run_one(n_ray, steps, backend, fallback=True))
         print(json.dumps(rows[-1]), flush=True)
     return rows
 
@@ -172,7 +176,7 @@ def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):
     result = run_one(n_ray, n_steps)
     if n_ray >= N_RAY:  # skip the 1e6 extra for tiny smoke-test sizes
         try:
-            extra = run_one(1_000_000, n_steps, "mega", fallback=True)
+            extra = run_one(1_000_000, N_STEPS_BIG, "mega", fallback=True)
             result["extra"] = [extra]
         except Exception as e:  # metric of record must still be reported
             result["extra_error"] = str(e)[:200]

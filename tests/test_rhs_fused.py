@@ -34,12 +34,19 @@ def _rel(a, b):
     return np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-30)
 
 
-def test_fused_rhs_matches_xla():
+import pytest
+
+
+@pytest.mark.parametrize("w_cells", [0, 16])
+def test_fused_rhs_matches_xla(w_cells):
+    """Both fused-kernel flavours: the plain full-width kernel
+    (window_cells=0) and the adaptive-window default (16)."""
     from msgwam_tpu.models.rhs import rhs
 
     cfg, bg, state, statics = _setup()
     a = rhs(120.0, state, statics, bg, cfg)
-    b = rhs(120.0, state, statics, bg, cfg.replace(rhs_backend="pallas"))
+    b = rhs(120.0, state, statics, bg,
+            cfg.replace(rhs_backend="pallas", window_cells=w_cells))
     assert _rel(a.rays.dens, b.rays.dens) < 2e-5
     assert _rel(a.rays.r, b.rays.r) < 2e-5
     assert _rel(a.rays.m, b.rays.m) < 2e-5
@@ -54,7 +61,9 @@ def test_fused_step_trajectory():
     a, _, _ = jax.jit(
         lambda s, st: mt.simulate(s, st, bg, cfg, run)
     )(state, statics)
-    cfgp = cfg.replace(rhs_backend="pallas")
+    # window_cells=0: the plain fused kernel drives the whole step (the
+    # windowed flavour's step path is covered by test_windowed.py)
+    cfgp = cfg.replace(rhs_backend="pallas", window_cells=0)
     b, _, _ = jax.jit(
         lambda s, st: mt.simulate(s, st, bg, cfgp, run)
     )(state, statics)
