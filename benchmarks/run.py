@@ -216,14 +216,18 @@ def config_ladder(backend, dtype):
               f"{rs/BASELINE_RAY_STEPS:>7.0f}x")
 
 
-def _time_resident(cfg, bg, state, statics, n_steps=1000):
+def _time_resident(cfg, bg, state, statics, n_steps=1000, source=None,
+                   wind_fn=None):
     """Whole-run megakernel timing (resident <= 131k rays, streaming
-    above) — per-step time over n_steps in ONE launch, so the tunneled
-    backend's ~25 ms dispatch constant amortizes away."""
+    above or when the lifecycle is on) — per-step time over n_steps in
+    ONE launch, so the tunneled backend's ~25 ms dispatch constant
+    amortizes away."""
     from msgwam_tpu.ops.step_pallas import simulate_resident
 
     run = mt.RunConfig(dt=120.0, n_steps=n_steps, save_every=n_steps)
-    f = jax.jit(lambda s, st: simulate_resident(s, st, bg, cfg, run))
+    f = jax.jit(lambda s, st: simulate_resident(s, st, bg, cfg, run,
+                                                source=source,
+                                                wind_fn=wind_fn))
     t0 = time.perf_counter()
     out = f(state, statics)
     jax.block_until_ready(out)
@@ -269,11 +273,11 @@ def config_ladder_champion(dtype, n_steps=1000):
                  *_time_resident(cfg, bg, state, statics, n_steps)))
 
     # 4: 1e5, transient tidal shear + critical-level cull + relaunch —
-    # adaptive-window fused kernel through the scan path (the lifecycle
-    # machinery needs simulate()); imposed wind => non-prognostic mean
+    # the streaming megakernel runs the whole lifecycle in-kernel
+    # (cull → relaunch at each step boundary, imposed wind from a
+    # per-step table); imposed wind => non-prognostic mean
     cfg = mk(saturate_online=True, cull=True, relaunch=True,
-             m_max=2 * np.pi / 300.0, rhs_backend="pallas",
-             prognostic_mean=False)
+             m_max=2 * np.pi / 300.0, prognostic_mean=False)
     gc, bg, state, statics = build(cfg, 100_000, dtype=dtype)
     source = mt.gaussian_spectrum_source(
         cfg, bg, 100_000, z_launch=2000.0, dz_launch=500.0,
@@ -281,9 +285,9 @@ def config_ladder_champion(dtype, n_steps=1000):
     centers = jnp.asarray(gc.centers(), dtype)
     wf = lambda t: (tidal_shear(centers, t, cfg),
                     jnp.zeros_like(centers))
-    rows.append(("4: 1e5 tidal+cull+relaunch", 100_000, "pallasw",
-                 *time_steps(cfg, bg, state, statics, n_steps=n_steps,
-                             source=source, wind_fn=wf)))
+    rows.append(("4: 1e5 tidal+cull+relaunch", 100_000, "mega-stream",
+                 *_time_resident(cfg, bg, state, statics, n_steps=n_steps,
+                                 source=source, wind_fn=wf)))
 
     # 5: 1e6-ray ensemble, full coupling — megakernel per member (each
     # 125k member fits the VMEM capacity), members sequential on one chip

@@ -195,8 +195,9 @@ def run_experiment(
             reasons.append("state dtype is not float32")
         if cfg.hprop:
             reasons.append("hprop=True")
-        if cfg.cull or cfg.relaunch:
-            reasons.append("culling/relaunch enabled")
+        if (cfg.cull or cfg.relaunch) and not cfg.saturate_online:
+            # the in-kernel lifecycle runs only in online-saturation mode
+            reasons.append("culling/relaunch with offline saturation")
         if reasons:
             print("--kernels mega: falling back to the adaptive-window "
                   "kernel (" + "; ".join(reasons) + ")")
@@ -207,7 +208,8 @@ def run_experiment(
         from .ops.step_pallas import simulate_resident
 
         sim = jax.jit(
-            lambda s, st, r: simulate_resident(s, st, bg, cfg, r),
+            lambda s, st, r: simulate_resident(s, st, bg, cfg, r,
+                                               source=source, t0=t0),
             static_argnums=(2,),
         )
     else:

@@ -596,8 +596,16 @@ def build_operators(bg, cfg, n_tab: int, c_pad: int):
     return maps, jnp.asarray(cols)
 
 
-def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
+def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False,
+                      source=None, wind_fn=None, t0: float = 0.0):
     """Drop-in fast path for ``simulate``: runs whole RK3 steps in-kernel.
+
+    When the config enables the per-step lifecycle (``cfg.cull`` /
+    ``cfg.relaunch`` with a ``source`` template, or a prescribed transient
+    ``wind_fn``), the call routes to the HBM-streaming variant, which runs
+    cull → relaunch in-kernel at each step boundary and reads the imposed
+    wind from a per-step table (``ops/step_pallas_stream.py``); that path
+    is not differentiable.
 
     **Differentiable in (state, statics)**: carries a ``custom_vjp`` whose
     backward pass differentiates the numerically equivalent XLA scan path
@@ -609,6 +617,13 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False):
     custom_vjp argument.  See :func:`_simulate_resident_impl` for the full
     contract.
     """
+
+    if cfg.cull or cfg.relaunch or wind_fn is not None:
+        from .step_pallas_stream import simulate_streaming
+
+        return simulate_streaming(state, statics, bg, cfg, run,
+                                  include_t0=include_t0, source=source,
+                                  wind_fn=wind_fn, t0=t0)
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
     def diff(s, st, cfg_, run_, inc):
@@ -670,8 +685,9 @@ def _simulate_resident_impl(state, statics, bg, cfg, run,
         raise ValueError("simulate_resident requires hprop=False")
     if cfg.cull or cfg.relaunch:
         raise ValueError(
-            "simulate_resident does not support culling/relaunch; "
-            "use simulate()"
+            "the VMEM-resident kernel does not run the lifecycle in-kernel; "
+            "call simulate_resident(..., source=...) to route to the "
+            "streaming variant, or simulate()"
         )
     # mirror validate_inputs' dtype discipline: this kernel computes in f32,
     # so silently accepting (and down-casting) an f64 parity-config state

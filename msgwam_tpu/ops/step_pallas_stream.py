@@ -43,11 +43,18 @@ flux→wind launches — only the irreducible tile streaming remains.
 
 Scope: ``hprop=False``, float32, both saturation modes (online in-stage,
 or the reference's offline direct saturation as a 4th grid phase with FD
-rates across the step incl. quirk 2 — ``raytracer.py:182-188``), no
-culling/relaunch/prescribed wind.  Dispatched automatically by
-:func:`msgwam_tpu.ops.step_pallas.simulate_resident` above the VMEM
-capacity; equivalence vs the scan path is tested in
-tests/test_megakernel.py.
+rates across the step incl. quirk 2 — ``raytracer.py:182-188``).  The
+per-step *lifecycle* also runs in-kernel (online mode): critical-level /
+out-of-domain culling and template relaunch execute at the stage-3
+boundary of every step (``_post_stage``; models/sources.py:174-217
+semantics), the activity mask streams with the state, and a transient
+imposed wind is read from a per-step host-built table
+(``models/integrate.py:370-377`` semantics) — so BASELINE config 4
+(tidal + cull + relaunch) runs at full megakernel speed.  Dispatched
+automatically by :func:`msgwam_tpu.ops.step_pallas.simulate_resident`
+above the VMEM capacity or whenever the lifecycle is enabled;
+equivalence vs the scan path is tested in tests/test_megakernel.py and
+tests/test_lifecycle_kernel.py.
 """
 
 from __future__ import annotations
@@ -66,7 +73,8 @@ LANE = 128
 TILE_ROWS = 64            # 8192 rays per streamed tile
 WIN = 16                  # default per-tile window cells (8-aligned)
 
-(_G0C, _DZ, _G0F, _DT, _BVF, _KAPPA, _F0, _RDIV) = range(8)
+(_G0C, _DZ, _G0F, _DT, _BVF, _KAPPA, _F0, _RDIV,
+ _MMAX, _FLO, _FHI) = range(11)
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -76,18 +84,32 @@ def _ceil_to(x: int, m: int) -> int:
 def _kernel(
     params_ref, maps_ref, cols_ref, uv0_ref,
     k_ref, l_ref, dr_ref, pv_ref, ff2_ref, kh2_ref, pvb_ref, act_ref,
-    dens_in, r_in, m_in,
     *rest,
     n_tab: int, n_flux_cells: int, c_pad: int, w_cells: int,
-    online: bool, prognostic: bool, faithful: bool,
+    online: bool, prognostic: bool, faithful: bool, t_rows: int,
+    cull: bool = False, relaunch: bool = False, prescribed: bool = False,
 ):
-    # outputs: dens/r/m (aliased with dens_in/r_in/m_in — same HBM), then
+    # optional lifecycle inputs (in signature order): the per-step wind
+    # table, the relaunch template, then the aliased dens/r/m(/act)
+    # inputs, the outputs, and scratch
+    rest = list(rest)
+    wind_ref = rest.pop(0) if prescribed else None
+    if relaunch:
+        srcd_ref, srcr_ref, srcm_ref, srca_ref = rest[:4]
+        rest = rest[4:]
+    rest = rest[3 + (1 if cull else 0):]   # aliased inputs, unused as such
+    # outputs: dens/r/m(/act) (aliased — same HBM as the inputs), then
     # the write-before-read ANY outputs, pp, uv, then scratch
-    n_arr = 6 if online else 8        # slabs DMA'd per body
+    n_arr = (6 if online else 8) + (1 if cull else 0)   # slabs per body
     if online:
-        (dens_h, r_h, m_h, qd_h, qr_h, qm_h, pp_h, uv_o,
-         *rest) = rest
-        hbm = (dens_h, r_h, m_h, qd_h, qr_h, qm_h)
+        if cull:
+            (dens_h, r_h, m_h, act_h, qd_h, qr_h, qm_h, pp_h, uv_o,
+             *rest) = rest
+            hbm = (dens_h, r_h, m_h, qd_h, qr_h, qm_h, act_h)
+        else:
+            (dens_h, r_h, m_h, qd_h, qr_h, qm_h, pp_h, uv_o,
+             *rest) = rest
+            hbm = (dens_h, r_h, m_h, qd_h, qr_h, qm_h)
     else:
         (dens_h, r_h, m_h, qd_h, qr_h, qm_h, rp_h, mp_h, pp_h, uv_o,
          *rest) = rest
@@ -112,7 +134,7 @@ def _kernel(
     kappa = params_ref[_KAPPA]
     f0 = params_ref[_F0]
     W = w_cells
-    T = TILE_ROWS
+    T = t_rows
 
     first_body = (step == 0) & (st == 0) & (tl == 0)
     last_body = (step == n_steps - 1) & (st == n_st - 1) \
@@ -163,6 +185,8 @@ def _kernel(
         _RW(ib[a], ob[a]) for a in range(6))
     if not online:
         rp_b, mp_b = _RW(ib[6], ob[6]), _RW(ib[7], ob[7])
+    if cull:
+        act_sb = _RW(ib[6], ob[6])     # streamed activity mask (online)
 
     @pl.when(g >= 2)
     def _():
@@ -183,6 +207,22 @@ def _kernel(
     @pl.when(~last_body)
     def _():
         issue_loads(nxt, t_next)       # prefetch the next body's tile
+
+    if prescribed:
+        # imposed transient wind: overwrite the mean wind from this step's
+        # row of the host-built table before the stage tables are built
+        # (the scan path sets state.mean from wind_fn(t) at the top of
+        # each step — models/integrate.py:370-377)
+        @pl.when((tl == 0) & (st == 0))
+        def _():
+            pad8 = jnp.concatenate(
+                [jnp.eye(2, dtype=jnp.float32),
+                 jnp.zeros((2, 6), jnp.float32)], axis=1)
+            uv_s[:] = jax.lax.dot_general(
+                wind_ref[0], pad8,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (c_pad, 8)
 
     # --- per-stage setup (before any tile of this stage) -------------------
     @pl.when((tl == 0) & (st < 3))
@@ -241,12 +281,13 @@ def _kernel(
             rp_b[:] = jnp.where(first, r, rp_b[:])
             mp_b[:] = jnp.where(first, m, mp_b[:])
         dens_new = upd(qd_b, dens_b, dens_st, dens)
-        upd(qr_b, r_b, drr_st, r)
-        upd(qm_b, m_b, dmm_st, m)
+        r_new = upd(qr_b, r_b, drr_st, r)
+        m_new = upd(qm_b, m_b, dmm_st, m)
         if online:
             # dens_prop ≡ the post-step density in online mode; only the
             # final step's value is streamed out (pp_phase)
             pp_b[:] = dens_new
+        return dens_new, r_new, m_new
 
     def _stage_tile():
         dens = dens_b[:]
@@ -255,7 +296,7 @@ def _kernel(
         k = k_ref[:]
         l = l_ref[:]
         dr = dr_ref[:]
-        act = act_ref[:]
+        act = act_sb[:] if cull else act_ref[:]
         amask = act > 0
 
         ff2 = ff2_ref[:]
@@ -319,33 +360,72 @@ def _kernel(
             dmm_st = jnp.where(amask, dmm_st, 0.0)
             return dens_st, drr_st, dmm_st
 
+        def _post_stage(dens_st, drr_st, dmm_st):
+            """RK3 update, then (when enabled) the per-step lifecycle:
+            cull (mask flip — models/sources.py:174-193) and relaunch from
+            the frozen template (sources.py:196-217), exactly at the step
+            boundary (stage 3), matching the scan body's step → cull →
+            relaunch ordering (models/integrate.py:378-398).  The RK3 q
+            registers need no reset: stage 1 of the next step overwrites
+            them unconditionally."""
+            d_n, r_n, m_n = _rk3_update(dens_st, drr_st, dmm_st, dens, r, m)
+            if not cull:
+                return
+
+            @pl.when(st < 2)
+            def _():
+                act_sb[:] = act        # copy-through on non-final stages
+
+            @pl.when(st == 2)
+            def _():
+                out = ((r_n - 0.5 * dr) >= params_ref[_FHI]) \
+                    | ((r_n + 0.5 * dr) <= params_ref[_FLO])
+                crit = jnp.abs(m_n) > params_ref[_MMAX]
+                finite = jnp.isfinite(d_n) & jnp.isfinite(r_n) \
+                    & jnp.isfinite(m_n)
+                new_act = amask & ~out & ~crit & finite
+                if relaunch:
+                    # refill every inactive slot from the template
+                    # (sources.py:206-217); dens_prop (pp_b) keeps the
+                    # pre-relaunch value, like the scan path's aux
+                    dens_b[:] = jnp.where(new_act, d_n, srcd_ref[:])
+                    r_b[:] = jnp.where(new_act, r_n, srcr_ref[:])
+                    m_b[:] = jnp.where(new_act, m_n, srcm_ref[:])
+                    act_f = new_act | (srca_ref[:] > 0)
+                else:
+                    act_f = new_act
+                act_sb[:] = act_f.astype(jnp.float32)
+
         @pl.when(ok)
         def _windowed():
             tabw = tabs_m[pl.ds(win, W), :]                 # (W, 8)
-            tab_du = tabw[:, 0:1]
-            tab_dv = tabw[:, 1:2]
+            tab_duv = tabw[:, 0:2]
             tab_rho = tabw[:, 2:3]
             gflo = g0c + (winf + col_win) * dz
             gfhi = gflo + dz
             colw = col_win_i + win
+            # per-row hat-basis coordinates, hoisted out of the loop: the
+            # window-bound scan above already computed qf_t/qr_t, and the
+            # windowed basis only shifts them by winf (same f32 association
+            # as the original in-loop expression)
+            qf_w = qf_t - winf
+            if online:
+                qr_w = qr_t - winf
 
             du_rows, dv_rows, rho_rows = [], [], []
-            tile_acc = jnp.zeros((W, 8), jnp.float32)
+            acc2 = jnp.zeros((W, 2), jnp.float32)
             for j in range(T):
-                rj = r[j, :][None, :]
                 Bf = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(
-                        (jnp.clip(rj, g0f, hi_f) - g0f) / dz
-                        - winf - col_win))
-                du_rows.append(jnp.sum(tab_du * Bf, axis=0))
-                dv_rows.append(jnp.sum(tab_dv * Bf, axis=0))
+                    0.0, 1.0 - jnp.abs(qf_w[j, :][None, :] - col_win))
+                # one small MXU contraction replaces two VPU mul +
+                # cross-sublane reductions
+                duv = dot(tab_duv, Bf, ((0,), (0,)))        # (2, LANE)
+                du_rows.append(duv[0, :])
+                dv_rows.append(duv[1, :])
                 if online:
-                    rfj = r_fin[j, :][None, :]
                     Br = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(
-                            (jnp.clip(rfj, g0c, hi_c) - g0c) / dz
-                            - winf - col_win))
-                    rho_rows.append(jnp.sum(tab_rho * Br, axis=0))
+                        0.0, 1.0 - jnp.abs(qr_w[j, :][None, :] - col_win))
+                    rho_rows.append(dot(tab_rho, Br, ((0,), (0,)))[0, :])
 
                 in_span = (colw >= nlow[j, :][None, :]) \
                     & (colw < nup[j, :][None, :])
@@ -355,13 +435,14 @@ def _kernel(
                             - jnp.maximum(gflo, r_lo[j, :][None, :])),
                     0.0,
                 )                                           # (W, LANE)
-                fv8 = jnp.concatenate(
-                    [fvk[j, :][None, :], fvl[j, :][None, :],
-                     jnp.zeros((6, LANE), jnp.float32)], axis=0)
-                tile_acc = tile_acc + dot(wmat, fv8, ((1,), (1,)))
+                fv2 = jnp.concatenate(
+                    [fvk[j, :][None, :], fvl[j, :][None, :]], axis=0)
+                acc2 = acc2 + dot(wmat, fv2, ((1,), (1,)))
 
+            tile_acc = jnp.concatenate(
+                [acc2, jnp.zeros((W, 6), jnp.float32)], axis=1)
             dens_st, drr_st, dmm_st = finish(du_rows, dv_rows, rho_rows)
-            _rk3_update(dens_st, drr_st, dmm_st, dens, r, m)
+            _post_stage(dens_st, drr_st, dmm_st)
             kahan_acc(tile_acc, pl.ds(win, W))
 
         @pl.when(~ok)
@@ -377,21 +458,17 @@ def _kernel(
             gfhi = gflo + dz
 
             du_rows, dv_rows, rho_rows = [], [], []
-            tile_acc = jnp.zeros((c_pad, 8), jnp.float32)
+            acc2 = jnp.zeros((c_pad, 2), jnp.float32)
             for j in range(T):
-                rj = r[j, :][None, :]
                 Bf = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(
-                        (jnp.clip(rj, g0f, hi_f) - g0f) / dz - col_full_f))
+                    0.0, 1.0 - jnp.abs(qf_t[j, :][None, :] - col_full_f))
                 sh2 = dot(shear_rows, Bf, ((1,), (0,)))
                 du_rows.append(sh2[0, :])
                 dv_rows.append(sh2[1, :])
                 if online:
-                    rfj = r_fin[j, :][None, :]
                     Br = jnp.maximum(
                         0.0, 1.0 - jnp.abs(
-                            (jnp.clip(rfj, g0c, hi_c) - g0c) / dz
-                            - col_full_f))
+                            qr_t[j, :][None, :] - col_full_f))
                     rho_rows.append(dot(rho_row, Br, ((1,), (0,)))[0, :])
 
                 in_span = (col_full >= nlow[j, :][None, :]) \
@@ -402,13 +479,14 @@ def _kernel(
                             - jnp.maximum(gflo, r_lo[j, :][None, :])),
                     0.0,
                 )                                           # (c_pad, LANE)
-                fv8 = jnp.concatenate(
-                    [fvk[j, :][None, :], fvl[j, :][None, :],
-                     jnp.zeros((6, LANE), jnp.float32)], axis=0)
-                tile_acc = tile_acc + dot(wmat, fv8, ((1,), (1,)))
+                fv2 = jnp.concatenate(
+                    [fvk[j, :][None, :], fvl[j, :][None, :]], axis=0)
+                acc2 = acc2 + dot(wmat, fv2, ((1,), (1,)))
 
+            tile_acc = jnp.concatenate(
+                [acc2, jnp.zeros((c_pad, 6), jnp.float32)], axis=1)
             dens_st, drr_st, dmm_st = finish(du_rows, dv_rows, rho_rows)
-            _rk3_update(dens_st, drr_st, dmm_st, dens, r, m)
+            _post_stage(dens_st, drr_st, dmm_st)
             kahan_acc(tile_acc, pl.ds(0, c_pad))
 
         # --- stage completion: flux -> wind (last tile of the stage) -------
@@ -471,13 +549,11 @@ def _kernel(
         @pl.when(ok)
         def _win():
             tab_rho = tabs_m[pl.ds(win, W), 2:3]
+            qr_w = qr_t - winf
             rows = []
             for j in range(T):
-                rfj = r_fin[j, :][None, :]
                 Br = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(
-                        (jnp.clip(rfj, g0c, hi_c) - g0c) / dz
-                        - winf - col_win))
+                    0.0, 1.0 - jnp.abs(qr_w[j, :][None, :] - col_win))
                 rows.append(jnp.sum(tab_rho * Br, axis=0))
             pp_b[:] = jnp.stack(rows)      # pp buffer doubles as ρ̄ temp
 
@@ -493,10 +569,8 @@ def _kernel(
             )                                      # (1, c_pad)
             rows = []
             for j in range(T):
-                rfj = r_fin[j, :][None, :]
                 Br = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(
-                        (jnp.clip(rfj, g0c, hi_c) - g0c) / dz - col_full_f))
+                    0.0, 1.0 - jnp.abs(qr_t[j, :][None, :] - col_full_f))
                 rho = jax.lax.dot_general(
                     rho_row, Br,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -558,7 +632,8 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "n_tab", "n_flux_cells", "w_cells",
-                     "online", "prognostic", "faithful", "interpret"),
+                     "online", "prognostic", "faithful", "interpret",
+                     "t_rows", "cull", "relaunch"),
 )
 def _streamkernel_call(
     params, maps, cols, uvT,
@@ -566,24 +641,53 @@ def _streamkernel_call(
     dens, r, m,
     n_steps: int, n_tab: int, n_flux_cells: int, w_cells: int,
     online: bool, prognostic: bool, faithful: bool, interpret: bool,
+    t_rows: int = TILE_ROWS,
+    wind=None, src=None, act_s=None,
+    cull: bool = False, relaunch: bool = False,
 ):
     n_rows = r.shape[0]
-    n_tiles = n_rows // TILE_ROWS
+    n_tiles = n_rows // t_rows
     c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
+    prescribed = wind is not None
     kernel = functools.partial(
         _kernel, n_tab=n_tab, n_flux_cells=n_flux_cells, c_pad=c_pad,
         w_cells=w_cells, online=online, prognostic=prognostic,
-        faithful=faithful,
+        faithful=faithful, t_rows=t_rows,
+        cull=cull, relaunch=relaunch, prescribed=prescribed,
     )
     n_st = 3 if online else 4
-    n_arr = 6 if online else 8
-    tile = pl.BlockSpec((TILE_ROWS, LANE), lambda i, s, t: (t, 0))
+    n_arr = (6 if online else 8) + (1 if cull else 0)
+    n_aliased = 3 + (1 if cull else 0)
+    tile = pl.BlockSpec((t_rows, LANE), lambda i, s, t: (t, 0))
     col8 = pl.BlockSpec((c_pad, 8), lambda i, s, t: (0, 0))
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     big = jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32)
 
-    # outputs: dens/r/m (aliased), q registers (+ offline pre-step state),
-    # dens_prop — all unblocked ANY (HBM) — and the final wind
+    # optional lifecycle inputs between the frozen fields and the aliased
+    # state: the per-step wind table (one (2, c_pad) row per step) and the
+    # relaunch template slabs
+    extra_in, extra_specs = [], []
+    if prescribed:
+        extra_in.append(wind)
+        extra_specs.append(
+            pl.BlockSpec((1, 2, c_pad), lambda i, s, t: (i, 0, 0)))
+    if relaunch:
+        extra_in += list(src)
+        extra_specs += [tile] * 4
+    if cull:
+        # the frozen act input is dead when act streams: point every body
+        # at block 0 of a dummy so the pipeline never re-fetches it
+        act_in = jnp.zeros((t_rows, LANE), jnp.float32)
+        act_spec = pl.BlockSpec((t_rows, LANE), lambda i, s, t: (0, 0))
+        aliased = [dens, r, m, act_s]
+    else:
+        act_in, act_spec = act, tile
+        aliased = [dens, r, m]
+    base = 12 + len(extra_in)
+    aliases = {base + j: j for j in range(n_aliased)}
+
+    # outputs: dens/r/m(/act) (aliased), q registers (+ offline pre-step
+    # state), dens_prop — all unblocked ANY (HBM) — and the final wind
     n_out_any = n_arr + 1
     outs = pl.pallas_call(
         kernel,
@@ -592,20 +696,21 @@ def _streamkernel_call(
             [pl.BlockSpec(memory_space=pltpu.SMEM),
              pl.BlockSpec((2 * c_pad, c_pad), lambda i, s, t: (0, 0)),
              col8, col8]
-            + [tile] * 8                     # frozen per-ray fields
-            + [anyspec] * 3                  # dens, r, m (aliased in-place)
+            + [tile] * 7 + [act_spec]        # frozen per-ray fields
+            + extra_specs
+            + [anyspec] * n_aliased          # state (aliased in-place)
         ),
         out_specs=tuple([anyspec] * n_out_any + [col8]),
         out_shape=tuple([big] * n_out_any
                         + [jax.ShapeDtypeStruct((c_pad, 8), jnp.float32)]),
-        input_output_aliases={12: 0, 13: 1, 14: 2},
+        input_output_aliases=aliases,
         scratch_shapes=(
-            [pltpu.VMEM((2 * TILE_ROWS, LANE), jnp.float32)
+            [pltpu.VMEM((2 * t_rows, LANE), jnp.float32)
              for _ in range(n_arr)]          # in-buffers (2 sets)
-            + [pltpu.VMEM((2 * TILE_ROWS, LANE), jnp.float32)
+            + [pltpu.VMEM((2 * t_rows, LANE), jnp.float32)
                for _ in range(n_arr)]        # out-buffers (2 sets)
             + [
-                pltpu.VMEM((TILE_ROWS, LANE), jnp.float32),  # pp buffer
+                pltpu.VMEM((t_rows, LANE), jnp.float32),  # pp buffer
                 pltpu.VMEM((c_pad, 8), jnp.float32),   # stage tables
                 pltpu.VMEM((c_pad, 8), jnp.float32),   # flux accumulator
                 pltpu.VMEM((c_pad, 8), jnp.float32),   # Kahan compensation
@@ -617,15 +722,19 @@ def _streamkernel_call(
             ]
         ),
         interpret=interpret,
-    )(params, maps, cols, uvT, k, l, dr, pv, ff2, kh2, pvb, act,
-      dens, r, m)
+    )(params, maps, cols, uvT, k, l, dr, pv, ff2, kh2, pvb, act_in,
+      *extra_in, *aliased)
     dens_n, r_n, m_n = outs[0], outs[1], outs[2]
     pp = outs[n_arr]
     uv = outs[-1]
+    if cull:
+        return dens_n, r_n, m_n, uv, pp, outs[3]
     return dens_n, r_n, m_n, uv, pp
 
 
-def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False):
+def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
+                       tile_rows: int = TILE_ROWS,
+                       source=None, wind_fn=None, t0: float = 0.0):
     """Whole-run streaming megakernel driver: same contract and history
     framing as :func:`msgwam_tpu.ops.step_pallas.simulate_resident`, with
     no VMEM capacity limit.  ``run.n_steps`` runs as
@@ -637,11 +746,42 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False):
 
     if cfg.hprop:
         raise ValueError("simulate_streaming requires hprop=False")
-    if cfg.cull or cfg.relaunch:
+    do_cull = bool(cfg.cull or cfg.relaunch)
+    do_relaunch = bool(cfg.relaunch)
+    if do_cull and not cfg.saturate_online:
         raise ValueError(
-            "simulate_streaming does not support culling/relaunch; "
-            "use simulate()"
+            "in-kernel culling/relaunch requires saturate_online=True; "
+            "use simulate() for the offline-saturation lifecycle path"
         )
+    if do_relaunch and source is None:
+        raise ValueError("cfg.relaunch requires a source template")
+    if do_relaunch:
+        src_rays, src_statics = source
+        for fname, a, b in (
+            ("k", src_rays.k, state.rays.k),
+            ("l", src_rays.l, state.rays.l),
+            ("dr", src_rays.dr, state.rays.dr),
+            ("dm", src_rays.dm, state.rays.dm),
+            ("phi", src_rays.phi, state.rays.phi),
+            ("dkk", src_statics.dkk, statics.dkk),
+            ("dll", src_statics.dll, statics.dll),
+            ("rr_mm_area", src_statics.rr_mm_area, statics.rr_mm_area),
+        ):
+            if isinstance(a, jax.core.Tracer) or isinstance(b, jax.core.Tracer):
+                # best-effort eager guard only: under jit the values are
+                # abstract, and the kernel simply keeps the running
+                # state's frozen fields (correct whenever the template
+                # matches, which launch-site relaunch templates do —
+                # models/sources.py:174-217)
+                continue
+            if not np.array_equal(np.asarray(a, np.float32),
+                                  np.asarray(b, np.float32)):
+                raise ValueError(
+                    "in-kernel relaunch keeps the per-ray frozen fields "
+                    f"resident for the whole run, but the template's {fname!r} "
+                    "differs from the running state's; use simulate() for "
+                    "templates that change a ray's frozen properties"
+                )
     for name, arr in (("state.rays.dens", state.rays.dens),
                       ("state.mean.u", state.mean.u)):
         got = jnp.asarray(arr).dtype
@@ -670,9 +810,11 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False):
         np.float32(centers_np[0]), dz, np.float32(faces_np[1]),
         np.float32(run.dt), np.float32(cfg.bvf), np.float32(cfg.kappa),
         np.float32(f0), np.float32(rdiv),
+        np.float32(cfg.m_max), np.float32(faces_np[0]),
+        np.float32(faces_np[-1]),
     ], dtype=np.float32))
 
-    pad_unit = TILE_ROWS * LANE
+    pad_unit = tile_rows * LANE
     # >= 3 tiles: the double-buffered pipeline's HBM RAW bound (a tile's
     # stage store is provably drained before its next-stage load only when
     # the two are >= 3 bodies apart); smaller problems pad up — inactive
@@ -719,24 +861,55 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False):
     unshape = lambda x: x.reshape(-1)[:n]
     online = bool(cfg.saturate_online)
 
-    def chunk(carry, _):
-        dens, r, m, uvT = carry
-        dens, r, m, uvT, pp = _streamkernel_call(
+    S = run.save_every
+    dt_f = jnp.float32(run.dt)
+
+    if do_relaunch:
+        src_slabs = (shape2(src_rays.dens), shape2(src_rays.r),
+                     shape2(src_rays.m),
+                     shape2(src_statics.active.astype(jnp.float32),
+                            fill=0.0))
+    else:
+        src_slabs = None
+
+    def chunk(carry, ci):
+        dens, r, m, uvT = carry[:4]
+        act_c = carry[4] if do_cull else None
+        if wind_fn is not None:
+            # one (2, c_pad) wind row per in-kernel step, evaluated on the
+            # host graph exactly as the scan body does at the top of each
+            # step (models/integrate.py:370-377)
+            ts = (jnp.float32(t0)
+                  + (ci * S + jnp.arange(S)).astype(jnp.float32) * dt_f)
+            uu, vv = jax.vmap(wind_fn)(ts)
+            wt = jnp.zeros((S, 2, c_pad), jnp.float32)
+            wt = wt.at[:, 0, :uu.shape[1]].set(uu.astype(jnp.float32))
+            wt = wt.at[:, 1, :vv.shape[1]].set(vv.astype(jnp.float32))
+        else:
+            wt = None
+        outs = _streamkernel_call(
             params, maps, cols, uvT, *statics_fields,
             dens, r, m,
-            n_steps=run.save_every, n_tab=n_tab,
+            n_steps=S, n_tab=n_tab,
             n_flux_cells=n_flux_cells, w_cells=w_cells,
             online=online,
             prognostic=bool(cfg.prognostic_mean),
             faithful=bool(cfg.faithful_saturation),
-            interpret=interpret,
+            interpret=interpret, t_rows=tile_rows,
+            wind=wt, src=src_slabs, act_s=act_c,
+            cull=do_cull, relaunch=do_relaunch,
         )
-        return (dens, r, m, uvT), (dens, r, m, uvT, pp)
+        dens, r, m, uvT, pp = outs[:5]
+        new_carry = (dens, r, m, uvT) + ((outs[5],) if do_cull else ())
+        return new_carry, new_carry[:4] + (pp,) + new_carry[4:]
 
     carry0 = (shape2(rays.dens), shape2(rays.r), shape2(rays.m),
               colpad(mean.u, mean.v))
+    if do_cull:
+        carry0 = carry0 + (
+            shape2(statics.active.astype(jnp.float32), fill=0.0),)
     n_outer = run.n_steps // run.save_every
-    carry, hist = jax.lax.scan(chunk, carry0, None, length=n_outer)
+    carry, hist = jax.lax.scan(chunk, carry0, jnp.arange(n_outer))
 
     n_cell = mean.u.shape[0]
 
@@ -752,9 +925,12 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False):
                        uvT[:n_cell, 1].astype(like_dtype))
         return State(rs, ms)
 
-    final = to_state(*carry, rays.dens.dtype)
+    final = to_state(*carry[:4], rays.dens.dtype)
+    active0 = statics.active
+    if do_cull:
+        statics = statics._replace(active=unshape(carry[4]) > 0)
 
-    hd, hr, hm, huv, hpp = hist
+    hd, hr, hm, huv, hpp = hist[:5]
     frames = [
         to_state(hd[t], hr[t], hm[t], huv[t], rays.dens.dtype)
         for t in range(n_outer)
@@ -762,12 +938,16 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False):
     prop_frames = [
         unshape(hpp[t]).astype(rays.dens.dtype) for t in range(n_outer)
     ]
+    if do_cull:
+        hact = hist[5]
+        act_frames = [unshape(hact[t]) > 0 for t in range(n_outer)]
+    else:
+        act_frames = [active0 for _ in range(n_outer)]
     if include_t0:
         frames = [state] + frames
         prop_frames = [state.rays.dens] + prop_frames
+        act_frames = [active0] + act_frames
     history_state = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
-    active_hist = jnp.broadcast_to(
-        statics.active, (len(frames),) + statics.active.shape
-    )
-    history = (history_state, active_hist, jnp.stack(prop_frames))
+    history = (history_state, jnp.stack(act_frames),
+               jnp.stack(prop_frames))
     return final, statics, history

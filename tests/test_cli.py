@@ -116,3 +116,27 @@ def test_kernels_mega_flag(tmp_path):
                "--out", str(out2), "--no-plot", "--kernels", "mega"])
     assert r2.returncode == 0, r2.stderr[-2000:]
     assert "falling back" in r2.stdout
+
+
+def test_kernels_mega_lifecycle(tmp_path):
+    """--kernels mega with cull+relaunch routes to the streaming
+    lifecycle kernel (no fallback) and produces finite diagnostics."""
+    spec = {
+        "model": {"u0": 4.0, "phi0": 0.0, "kappa": 1.0, "hprop": False,
+                  "saturate_online": True, "rr0": 40000.0,
+                  "cull": True, "relaunch": True},
+        "grid": {"n_face": 101, "z_max": 100e3},
+        "run": {"dt": 120.0, "n_steps": 4, "save_every": 2},
+        "source": {"kind": "gaussian_spectrum", "n_ray": 300},
+        "background": "sine",
+        "dtype": "float32",
+    }
+    cfg_path = tmp_path / "mega_lc.json"
+    cfg_path.write_text(json.dumps(spec))
+    out = tmp_path / "mlc"
+    r = _run(["run", "--config", str(cfg_path), "--out", str(out),
+              "--no-plot", "--kernels", "mega"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "falling back" not in r.stdout
+    d = np.load(out / "diagnostics.npz")
+    assert np.all(np.isfinite(d["wave_action"]))

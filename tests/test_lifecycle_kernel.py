@@ -1,0 +1,106 @@
+"""In-kernel lifecycle (cull / relaunch / prescribed wind) in the
+HBM-streaming megakernel vs the scan path.
+
+The streaming kernel runs the per-step lifecycle at the stage-3 boundary
+of each in-kernel RK3 step (``ops/step_pallas_stream.py::_post_stage``),
+matching the scan body's step → cull → relaunch ordering
+(``models/integrate.py:378-398``) and the reference driver's per-step
+structure (``raytracer.py:157-191``).  These tests drive both paths on
+identical inputs and require identical activity masks and f32-round-off
+state agreement — with enough steps and an aggressive ``m_max`` that
+culls actually fire.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import msgwam_tpu as mt
+from msgwam_tpu.models.backgrounds import tidal_shear
+from msgwam_tpu.ops.step_pallas import simulate_resident
+
+N_RAY = 2000
+N_STEPS = 6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    base = mt.REFERENCE_RUN_CONFIG.replace(
+        saturate_online=True, dtype="float32",
+        projection_backend="mxu", interp_backend="mxu",
+        prognostic_mean=False)
+    gc = mt.GridConfig()
+    centers = gc.centers()
+    uu = np.asarray(mt.velocities_sine_homogeneous(
+        jnp.asarray(centers, jnp.float32), base)).astype(np.float32)
+    vv = np.zeros_like(uu)
+    bg = mt.make_background(gc, base, uu, vv, dtype=jnp.float32)
+
+    def mk():
+        return mt.gaussian_spectrum_source(
+            base, bg, N_RAY, z_launch=2000.0, dz_launch=500.0,
+            amplitude_alpha=0.003, dtype=jnp.float32)
+
+    rays, statics = mk()
+    state = mt.State(rays, mt.MeanState(jnp.asarray(uu), jnp.asarray(vv)))
+    run = mt.RunConfig(dt=120.0, n_steps=N_STEPS, save_every=N_STEPS)
+    return base, bg, state, statics, mk, run, centers
+
+
+def _close(a, b, tol):
+    a, b = np.asarray(a), np.asarray(b)
+    assert np.abs(a - b).max() <= tol * max(1e-30, np.abs(a).max())
+
+
+def test_cull_only_matches_scan(setup):
+    base, bg, state, statics, mk, run, _ = setup
+    # m_max low enough that critical-level culls fire within N_STEPS
+    cfg = base.replace(cull=True, relaunch=False, m_max=np.pi / 1500.0)
+    fin_s, stat_s, _ = mt.simulate(state, statics, bg, cfg, run)
+    fin_k, stat_k, _ = simulate_resident(state, statics, bg, cfg, run)
+    a_s, a_k = np.asarray(stat_s.active), np.asarray(stat_k.active)
+    assert a_s.sum() < N_RAY, "test must exercise real cull events"
+    assert (a_s == a_k).all()
+    _close(fin_s.rays.dens, fin_k.rays.dens, 1e-5)
+    _close(fin_s.rays.r, fin_k.rays.r, 1e-5)
+    _close(fin_s.rays.m, fin_k.rays.m, 1e-5)
+
+
+def test_relaunch_tidal_matches_scan(setup):
+    base, bg, state, statics, mk, run, centers = setup
+    cfg = base.replace(cull=True, relaunch=True, m_max=np.pi / 1500.0)
+    source = mk()
+    cj = jnp.asarray(centers, jnp.float32)
+    wf = lambda t: (tidal_shear(cj, t, cfg), jnp.zeros_like(cj))
+    fin_s, stat_s, hist_s = mt.simulate(
+        state, statics, bg, cfg, run, source=source, wind_fn=wf)
+    fin_k, stat_k, hist_k = simulate_resident(
+        state, statics, bg, cfg, run, source=source, wind_fn=wf)
+    assert (np.asarray(stat_s.active) == np.asarray(stat_k.active)).all()
+    _close(fin_s.rays.dens, fin_k.rays.dens, 1e-5)
+    _close(fin_s.rays.r, fin_k.rays.r, 1e-5)
+    _close(fin_s.rays.m, fin_k.rays.m, 1e-5)
+    _close(fin_s.mean.u, fin_k.mean.u, 1e-5)
+    # history framing: final frame's activity mask and dens_prop channel
+    st_s, act_s, pp_s = hist_s
+    st_k, act_k, pp_k = hist_k
+    assert (np.asarray(act_s[-1]) == np.asarray(act_k[-1])).all()
+    _close(pp_s[-1], pp_k[-1], 1e-5)
+    _close(st_s.rays.r[-1], st_k.rays.r[-1], 1e-5)
+
+
+def test_template_frozen_field_mismatch_raises(setup):
+    base, bg, state, statics, mk, run, _ = setup
+    cfg = base.replace(cull=True, relaunch=True)
+    src_rays, src_statics = mk()
+    bad = (src_rays._replace(k=src_rays.k * 1.5), src_statics)
+    with pytest.raises(ValueError, match="frozen"):
+        simulate_resident(state, statics, bg, cfg, run, source=bad)
+
+
+def test_lifecycle_requires_online_saturation(setup):
+    base, bg, state, statics, mk, run, _ = setup
+    cfg = base.replace(cull=True, relaunch=True, saturate_online=False)
+    with pytest.raises(ValueError, match="online"):
+        simulate_resident(state, statics, bg, cfg, run, source=mk())

@@ -107,9 +107,15 @@ def test_megakernel_guard_rails():
     with pytest.raises(ValueError, match="hprop"):
         simulate_resident(state, statics, bg,
                           cfg.replace(hprop=True), run)
-    with pytest.raises(ValueError, match="culling"):
+    # cull/relaunch now route to the streaming lifecycle kernel
+    # (tests/test_lifecycle_kernel.py); its own guards apply
+    with pytest.raises(ValueError, match="source template"):
         simulate_resident(state, statics, bg,
-                          cfg.replace(cull=True), run)
+                          cfg.replace(relaunch=True), run)
+    with pytest.raises(ValueError, match="saturate_online"):
+        simulate_resident(
+            state, statics, bg,
+            cfg.replace(cull=True, saturate_online=False), run)
 
 
 def _to_f64(tree):
