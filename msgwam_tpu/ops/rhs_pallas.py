@@ -124,8 +124,10 @@ def _kernel(
     ff = 2.0 * ROT_EARTH * jnp.sin(phi)
     kh2 = k * k + l * l
     k2 = kh2 + m * m
-    om = jnp.sqrt((bvf * bvf * kh2 + ff * ff * m * m) / k2)
-    cgr = -m * (om * om - ff * ff) / om / k2        # lib/libprop.py:434-448
+    # one reciprocal + one rsqrt instead of 3 divides + 1 sqrt per ray
+    # (lib/libprop.py:434-448 algebra unchanged)
+    om2 = (bvf * bvf * kh2 + ff * ff * m * m) * (1.0 / k2)
+    cgr = -m * (om2 - ff * ff) * jax.lax.rsqrt(om2) * (1.0 / k2)
     r_fin = r + cgr * dt                            # saturation extrapolation
 
     # --- flux deposit inputs (independent of the winds: hprop off) ---------
@@ -135,12 +137,13 @@ def _kernel(
     r_lo = r - 0.5 * dr
     r_up = r + 0.5 * dr
     nzmax = n_flux_cells - 1
-    nlow_t = (r_lo / dz).astype(jnp.int32)
-    nup_t = (r_up / dz + 1.0).astype(jnp.int32)
+    idz = 1.0 / dz                     # scalar; hoisted by the compiler
+    nlow_t = (r_lo * idz).astype(jnp.int32)
+    nup_t = (r_up * idz + 1.0).astype(jnp.int32)
     ood = ((nlow_t >= nzmax) & (nup_t >= nzmax)) | ((nlow_t <= 0) & (nup_t <= 0))
     live_t = (act > 0) & ~ood
     pv = jnp.abs(dkk * dll * dm)
-    fv = cgr * dens / dz
+    fv = cgr * dens * idz
     fvk = jnp.where(live_t, fv * k * pv, 0.0)
     fvl = jnp.where(live_t, fv * l * pv, 0.0)
     # nup <= nzmax < n_flux_cells after this clip, so no explicit
@@ -162,6 +165,12 @@ def _kernel(
     def hat(q):
         return jnp.maximum(0.0, 1.0 - jnp.abs(q - col_f))      # (c_pad, LANE)
 
+    # hat coordinates hoisted out of the per-row loop: one clipped,
+    # dz-normalized height slab per query point for the whole tile
+    qf_t = (jnp.clip(r, g0f, hi_f) - g0f) * idz
+    if saturate_online:
+        qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) * idz
+
     def interp(lhs, B):
         return jax.lax.dot_general(
             lhs, B,
@@ -176,15 +185,13 @@ def _kernel(
         # off the winds u, v themselves never enter a live tendency (only
         # the shears and ρ̄ do, models/rhs.py:109-114), so no u/v
         # interpolation is performed at all — 2 query points, not 3.
-        rj = r_ref[j, :][None, :]                              # (1, LANE)
         sh = interp(tables_ref[0:2, 0:c_pad],
-                    hat((jnp.clip(rj, g0f, hi_f) - g0f) / dz))
+                    hat(qf_t[j, :][None, :]))
         du_s[j, :] = sh[0, :]
         dv_s[j, :] = sh[1, :]
         if saturate_online:
-            rfj = r_fin[j, :][None, :]
             rho = interp(tables_ref[2:3, c_pad:2 * c_pad],
-                         hat((jnp.clip(rfj, g0c, hi_c) - g0c) / dz))
+                         hat(qr_t[j, :][None, :]))
             rho_s[j, :] = rho[0, :]
 
     for j in range(SUBLANES):
@@ -222,15 +229,17 @@ def _kernel(
     if saturate_online:
         m_fin = m + dmm_st * dt
         dmm_fin = area / dr                         # dr tendency = 0
-        omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m * m) / k2)
+        # same 1-div + 1-rsqrt factoring as the dispersion block
+        omh2 = (bvf * bvf * kh2 + f0 * f0 * m * m) * (1.0 / k2)
         cap = (
-            kappa * kappa * 0.5 * rho_s[:] * omh * bvf * bvf
-            / (m_fin * m_fin) / (omh * omh - f0 * f0)
+            kappa * kappa * 0.5 * rho_s[:] * omh2
+            * jax.lax.rsqrt(omh2) * bvf * bvf
+            / (m_fin * m_fin * (omh2 - f0 * f0))
         )
         pvol = dkk * dll * dmm_fin
         cap_applied = cap if faithful else cap / pvol
         exceed = cap < dens * pvol
-        dens_st = jnp.where(exceed, (cap_applied - dens) / dt, 0.0)
+        dens_st = jnp.where(exceed, (cap_applied - dens) * (1.0 / dt), 0.0)
     else:
         dens_st = jnp.zeros_like(dens)
 

@@ -95,19 +95,23 @@ def _kernel(
     ff2 = ff2_ref[:]
     kh2 = kh2_ref[:]
     k2 = kh2 + m * m
-    om = jnp.sqrt((bvf * bvf * kh2 + ff2 * m * m) / k2)
-    cgr = -m * (om * om - ff2) / om / k2            # lib/libprop.py:434-448
+    # one reciprocal + one rsqrt instead of 3 divides + 1 sqrt per ray
+    # (lib/libprop.py:434-448 algebra unchanged; divides/sqrts retire at a
+    # fraction of VPU mul throughput)
+    om2 = (bvf * bvf * kh2 + ff2 * m * m) * (1.0 / k2)
+    cgr = -m * (om2 - ff2) * jax.lax.rsqrt(om2) * (1.0 / k2)
     r_fin = r + cgr * dt
 
+    idz = 1.0 / dz                     # scalar; hoisted by the compiler
     r_lo = r - 0.5 * dr
     r_up = r + 0.5 * dr
     nzmax_i = n_flux_cells - 1
-    nlow = (r_lo / dz).astype(jnp.int32)
-    nup = (r_up / dz + 1.0).astype(jnp.int32)
+    nlow = (r_lo * idz).astype(jnp.int32)
+    nup = (r_up * idz + 1.0).astype(jnp.int32)
     ood = ((nlow >= nzmax_i) & (nup >= nzmax_i)) | ((nlow <= 0) & (nup <= 0))
     live = amask & ~ood
     pv = pv_ref[:]
-    fv = cgr * dens / dz
+    fv = cgr * dens * idz
     fvk = jnp.where(live, fv * k * pv, 0.0)
     fvl = jnp.where(live, fv * l * pv, 0.0)
     nlow = jnp.clip(nlow, 0, nzmax_i)
@@ -117,8 +121,8 @@ def _kernel(
     hi_f = g0f + (n_tab - 2.0) * dz
 
     # --- the block's window -------------------------------------------------
-    qf_t = (jnp.clip(r, g0f, hi_f) - g0f) / dz
-    qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) / dz
+    qf_t = (jnp.clip(r, g0f, hi_f) - g0f) * idz
+    qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) * idz
     lo_t = jnp.minimum(jnp.minimum(jnp.floor(qf_t), jnp.floor(qr_t)) - 1.0,
                        nlow.astype(jnp.float32))
     hi_t = jnp.maximum(jnp.maximum(jnp.floor(qf_t), jnp.floor(qr_t)) + 2.0,
@@ -149,17 +153,20 @@ def _kernel(
         if saturate_online:
             rho_t = jnp.stack(rho_rows)
             m_fin = m + dmm_st * dt
-            omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m * m) / k2)
+            # same 1-div + 1-rsqrt factoring as the dispersion block
+            omh2 = (bvf * bvf * kh2 + f0 * f0 * m * m) * (1.0 / k2)
             cap = (
-                kappa * kappa * 0.5 * rho_t * omh * bvf * bvf
-                / (m_fin * m_fin) / (omh * omh - f0 * f0)
+                kappa * kappa * 0.5 * rho_t * omh2
+                * jax.lax.rsqrt(omh2) * bvf * bvf
+                / (m_fin * m_fin * (omh2 - f0 * f0))
             )
             # dkk·dll·dmm_final with dmm_final = area/dr (area preservation);
             # pvb = dkk·dll·area precomputed in XLA
             pvol = pvb_ref[:] / dr
             cap_applied = cap if faithful else cap / pvol
             exceed = cap < dens * pvol
-            dens_st = jnp.where(exceed & amask, (cap_applied - dens) / dt, 0.0)
+            dens_st = jnp.where(exceed & amask,
+                                (cap_applied - dens) * (1.0 / dt), 0.0)
         else:
             dens_st = jnp.zeros_like(dens)
         dens_st_ref[:] = dens_st
@@ -185,18 +192,16 @@ def _kernel(
         du_rows, dv_rows, rho_rows = [], [], []
         blk = jnp.zeros((W, 8), jnp.float32)
         for j in range(T):
-            rj = r[j, :][None, :]
+            # hat coordinates hoisted: qf_t/qr_t already hold the clipped,
+            # dz-normalized heights for the whole block
             Bf = jnp.maximum(
-                0.0, 1.0 - jnp.abs(
-                    (jnp.clip(rj, g0f, hi_f) - g0f) / dz - winf - col_win))
+                0.0, 1.0 - jnp.abs(qf_t[j, :][None, :] - winf - col_win))
             du_rows.append(jnp.sum(tab_du * Bf, axis=0))
             dv_rows.append(jnp.sum(tab_dv * Bf, axis=0))
             if saturate_online:
-                rfj = r_fin[j, :][None, :]
                 Br = jnp.maximum(
                     0.0, 1.0 - jnp.abs(
-                        (jnp.clip(rfj, g0c, hi_c) - g0c) / dz
-                        - winf - col_win))
+                        qr_t[j, :][None, :] - winf - col_win))
                 rho_rows.append(jnp.sum(tab_rho * Br, axis=0))
 
             in_span = (colw >= nlow[j, :][None, :]) \
@@ -230,18 +235,15 @@ def _kernel(
         du_rows, dv_rows, rho_rows = [], [], []
         blk = jnp.zeros((c_pad, 8), jnp.float32)
         for j in range(T):
-            rj = r[j, :][None, :]
             Bf = jnp.maximum(
-                0.0, 1.0 - jnp.abs(
-                    (jnp.clip(rj, g0f, hi_f) - g0f) / dz - col_full_f))
+                0.0, 1.0 - jnp.abs(qf_t[j, :][None, :] - col_full_f))
             sh2 = dot(shear_rows, Bf, ((1,), (0,)))
             du_rows.append(sh2[0, :])
             dv_rows.append(sh2[1, :])
             if saturate_online:
-                rfj = r_fin[j, :][None, :]
                 Br = jnp.maximum(
                     0.0, 1.0 - jnp.abs(
-                        (jnp.clip(rfj, g0c, hi_c) - g0c) / dz - col_full_f))
+                        qr_t[j, :][None, :] - col_full_f))
                 rho_rows.append(dot(rho_row, Br, ((1,), (0,)))[0, :])
 
             in_span = (col_full >= nlow[j, :][None, :]) \

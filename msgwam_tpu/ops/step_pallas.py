@@ -162,14 +162,19 @@ def _kernel(
         ff2 = ff2_s[slab, :]
         kh2 = kh2_s[slab, :]
         pv = pv_s[slab, :]
-        om = jnp.sqrt((bvf * bvf * kh2 + ff2 * m * m) / (kh2 + m * m))
-        cgr = -m * (om * om - ff2) / om / (kh2 + m * m)
+        # one reciprocal + one rsqrt instead of 3 divides + 1 sqrt per ray
+        # (lib/libprop.py:434-448 algebra unchanged; divides/sqrts retire
+        # at a fraction of VPU mul throughput)
+        k2 = kh2 + m * m
+        om2 = (bvf * bvf * kh2 + ff2 * m * m) * (1.0 / k2)
+        cgr = -m * (om2 - ff2) * jax.lax.rsqrt(om2) * (1.0 / k2)
         r_fin = r + cgr * dt
-        fv = cgr * dens / dz
+        idz = 1.0 / dz                 # scalar; hoisted by the compiler
+        fv = cgr * dens * idz
         r_lo = r - 0.5 * dr
         r_up = r + 0.5 * dr
-        nlow = (r_lo / dz).astype(jnp.int32)
-        nup = (r_up / dz + 1.0).astype(jnp.int32)
+        nlow = (r_lo * idz).astype(jnp.int32)
+        nup = (r_up * idz + 1.0).astype(jnp.int32)
         ood = ((nlow >= nzmax_i) & (nup >= nzmax_i)) | ((nlow <= 0) & (nup <= 0))
         live = amask & ~ood
         fvk = jnp.where(live, fv * k * pv, 0.0)
@@ -178,8 +183,8 @@ def _kernel(
         nup = jnp.clip(nup, 0, nzmax_i)
 
         # --- per-tile window from the tile's own touched-cell bounds -----------
-        qf_t = (jnp.clip(r, g0f, hi_f) - g0f) / dz
-        qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) / dz
+        qf_t = (jnp.clip(r, g0f, hi_f) - g0f) * idz
+        qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) * idz
         lo_t = jnp.minimum(jnp.minimum(jnp.floor(qf_t), jnp.floor(qr_t)) - 1.0,
                            nlow.astype(jnp.float32))
         hi_t = jnp.maximum(jnp.maximum(jnp.floor(qf_t), jnp.floor(qr_t)) + 2.0,
@@ -211,13 +216,13 @@ def _kernel(
             rho_rows = []
             tile_acc = jnp.zeros((W, 8), jnp.float32)
             for j in range(T):
-                rj = r[j, :][None, :]
-                Bf = hat_win((jnp.clip(rj, g0f, hi_f) - g0f) / dz)
+                # hat coordinates hoisted: qf_t/qr_t already hold the
+                # clipped, dz-normalized heights for the whole tile
+                Bf = hat_win(qf_t[j, :][None, :])
                 du_rows.append(jnp.sum(tab_du * Bf, axis=0))
                 dv_rows.append(jnp.sum(tab_dv * Bf, axis=0))
                 if online:          # in-stage ρ̄ only for online saturation
-                    rfj = r_fin[j, :][None, :]
-                    Br = hat_win((jnp.clip(rfj, g0c, hi_c) - g0c) / dz)
+                    Br = hat_win(qr_t[j, :][None, :])
                     rho_rows.append(jnp.sum(tab_rho * Br, axis=0))
 
                 in_span = (colw >= nlow[j, :][None, :]) \
@@ -263,8 +268,7 @@ def _kernel(
             rho_rows = []
             tile_acc = jnp.zeros((c_pad, 8), jnp.float32)
             for j in range(T):
-                rj = r[j, :][None, :]
-                Bf = hat_full((jnp.clip(rj, g0f, hi_f) - g0f) / dz)
+                Bf = hat_full(qf_t[j, :][None, :])
                 sh2 = jax.lax.dot_general(
                     shear_rows, Bf, dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -272,8 +276,7 @@ def _kernel(
                 du_rows.append(sh2[0, :])
                 dv_rows.append(sh2[1, :])
                 if online:
-                    rfj = r_fin[j, :][None, :]
-                    Br = hat_full((jnp.clip(rfj, g0c, hi_c) - g0c) / dz)
+                    Br = hat_full(qr_t[j, :][None, :])
                     rho = jax.lax.dot_general(
                         rho_row, Br,
                         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -314,15 +317,18 @@ def _kernel(
             rho_t = rho_s[slab, :]
             m_fin = m + dmm_st * dt
             dmm_fin = area_ref[slab, :] / dr
-            omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m * m) / (kh2 + m * m))
+            # same 1-div + 1-rsqrt factoring as the dispersion block
+            omh2 = (bvf * bvf * kh2 + f0 * f0 * m * m) * (1.0 / k2)
             cap = (
-                kappa * kappa * 0.5 * rho_t * omh * bvf * bvf
-                / (m_fin * m_fin) / (omh * omh - f0 * f0)
+                kappa * kappa * 0.5 * rho_t * omh2
+                * jax.lax.rsqrt(omh2) * bvf * bvf
+                / (m_fin * m_fin * (omh2 - f0 * f0))
             )
             pvol = dkk_ref[slab, :] * dll_ref[slab, :] * dmm_fin
             cap_applied = cap if faithful else cap / pvol
             exceed = cap < dens * pvol
-            dens_st = jnp.where(exceed & amask, (cap_applied - dens) / dt, 0.0)
+            dens_st = jnp.where(exceed & amask,
+                                (cap_applied - dens) * (1.0 / dt), 0.0)
         else:
             dens_st = jnp.zeros_like(dens)
         drr_st = jnp.where(amask, cgr, 0.0)
@@ -405,11 +411,9 @@ def _kernel(
             tab_rho = tabs_m[pl.ds(win, W), 2:3]
             rows = []
             for j in range(T):
-                rfj = r_fin[j, :][None, :]
                 Br = jnp.maximum(
                     0.0, 1.0 - jnp.abs(
-                        (jnp.clip(rfj, g0c, hi_c) - g0c) / dz
-                        - winf - col_win))
+                        qr_t[j, :][None, :] - winf - col_win))
                 rows.append(jnp.sum(tab_rho * Br, axis=0))
             rho_s[slab, :] = jnp.stack(rows)
 
@@ -425,10 +429,9 @@ def _kernel(
             )                                      # (1, c_pad)
             rows = []
             for j in range(T):
-                rfj = r_fin[j, :][None, :]
                 Br = jnp.maximum(
                     0.0, 1.0 - jnp.abs(
-                        (jnp.clip(rfj, g0c, hi_c) - g0c) / dz - col_full_f))
+                        qr_t[j, :][None, :] - col_full_f))
                 rho = jax.lax.dot_general(
                     rho_row, Br,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -439,11 +442,13 @@ def _kernel(
 
         rho_t = rho_s[slab, :]
         kh2 = kh2_s[slab, :]
-        omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m_p * m_p)
-                       / (kh2 + m_p * m_p))        # pre-step m, phi0
+        # pre-step m, phi0; 1-div + 1-rsqrt factoring (see _stage_tile)
+        omh2 = (bvf * bvf * kh2 + f0 * f0 * m_p * m_p) \
+            * (1.0 / (kh2 + m_p * m_p))
         cap = (
-            kappa * kappa * 0.5 * rho_t * omh * bvf * bvf
-            / (m_fin * m_fin) / (omh * omh - f0 * f0)
+            kappa * kappa * 0.5 * rho_t * omh2
+            * jax.lax.rsqrt(omh2) * bvf * bvf
+            / (m_fin * m_fin * (omh2 - f0 * f0))
         )
         pvol = dkk_ref[slab, :] * dll_ref[slab, :] * dmm_fin
         cap_applied = cap if faithful else cap / pvol

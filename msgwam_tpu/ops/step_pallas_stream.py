@@ -303,14 +303,20 @@ def _kernel(
         kh2 = kh2_ref[:]
         pv = pv_ref[:]
         k2 = kh2 + m * m
-        om = jnp.sqrt((bvf * bvf * kh2 + ff2 * m * m) / k2)
-        cgr = -m * (om * om - ff2) / om / k2        # lib/libprop.py:434-448
+        # dispersion via one reciprocal + one rsqrt instead of 3 divides +
+        # 1 sqrt per ray (lib/libprop.py:434-448 algebra unchanged:
+        # (ω̂²-f²)/ω̂/k² = (ω̂²-f²)·rsqrt(ω̂²)/k²); the VPU retires divides
+        # and square roots at a fraction of mul throughput, and this block
+        # runs per ray per stage — part of the W-independent time floor
+        om2 = (bvf * bvf * kh2 + ff2 * m * m) * (1.0 / k2)
+        cgr = -m * (om2 - ff2) * jax.lax.rsqrt(om2) * (1.0 / k2)
         r_fin = r + cgr * dt
-        fv = cgr * dens / dz
+        idz = 1.0 / dz                 # scalar; hoisted by the compiler
+        fv = cgr * dens * idz
         r_lo = r - 0.5 * dr
         r_up = r + 0.5 * dr
-        nlow = (r_lo / dz).astype(jnp.int32)
-        nup = (r_up / dz + 1.0).astype(jnp.int32)
+        nlow = (r_lo * idz).astype(jnp.int32)
+        nup = (r_up * idz + 1.0).astype(jnp.int32)
         ood = ((nlow >= nzmax_i) & (nup >= nzmax_i)) \
             | ((nlow <= 0) & (nup <= 0))
         live = amask & ~ood
@@ -320,8 +326,8 @@ def _kernel(
         nup = jnp.clip(nup, 0, nzmax_i)
 
         # --- per-tile window from the tile's own touched-cell bounds -------
-        qf_t = (jnp.clip(r, g0f, hi_f) - g0f) / dz
-        qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) / dz
+        qf_t = (jnp.clip(r, g0f, hi_f) - g0f) * idz
+        qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) * idz
         lo_t = jnp.minimum(
             jnp.minimum(jnp.floor(qf_t), jnp.floor(qr_t)) - 1.0,
             nlow.astype(jnp.float32))
@@ -342,18 +348,20 @@ def _kernel(
             if online:
                 rho_t = jnp.stack(rho_rows)
                 m_fin = m + dmm_st * dt
-                omh = jnp.sqrt(
-                    (bvf * bvf * kh2 + f0 * f0 * m * m) / k2)
+                # same 1-div + 1-rsqrt factoring as the dispersion block:
+                # ω̂·/(m²(ω̂²-f₀²)) = ω̂²·rsqrt(ω̂²)/(m²(ω̂²-f₀²))
+                omh2 = (bvf * bvf * kh2 + f0 * f0 * m * m) * (1.0 / k2)
                 cap = (
-                    kappa * kappa * 0.5 * rho_t * omh * bvf * bvf
-                    / (m_fin * m_fin) / (omh * omh - f0 * f0)
+                    kappa * kappa * 0.5 * rho_t * omh2
+                    * jax.lax.rsqrt(omh2) * bvf * bvf
+                    / (m_fin * m_fin * (omh2 - f0 * f0))
                 )
                 # pvb = dkk·dll·area; dmm_final = area/dr (area preservation)
                 pvol = pvb_ref[:] / dr
                 cap_applied = cap if faithful else cap / pvol
                 exceed = cap < dens * pvol
                 dens_st = jnp.where(exceed & amask,
-                                    (cap_applied - dens) / dt, 0.0)
+                                    (cap_applied - dens) * (1.0 / dt), 0.0)
             else:
                 dens_st = jnp.zeros_like(dens)
             drr_st = jnp.where(amask, cgr, 0.0)
@@ -581,11 +589,13 @@ def _kernel(
 
         rho_t = pp_b[:]
         kh2 = kh2_ref[:]
-        omh = jnp.sqrt((bvf * bvf * kh2 + f0 * f0 * m_p * m_p)
-                       / (kh2 + m_p * m_p))        # pre-step m, phi0
+        # pre-step m, phi0; 1-div + 1-rsqrt factoring (see _stage_tile)
+        omh2 = (bvf * bvf * kh2 + f0 * f0 * m_p * m_p) \
+            * (1.0 / (kh2 + m_p * m_p))
         cap = (
-            kappa * kappa * 0.5 * rho_t * omh * bvf * bvf
-            / (m_fin * m_fin) / (omh * omh - f0 * f0)
+            kappa * kappa * 0.5 * rho_t * omh2
+            * jax.lax.rsqrt(omh2) * bvf * bvf
+            / (m_fin * m_fin * (omh2 - f0 * f0))
         )
         # dmm_fin = area/dr (dr rate is exactly 0); pvb = dkk·dll·area
         pvol = pvb / dr
