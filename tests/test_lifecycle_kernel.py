@@ -104,3 +104,82 @@ def test_lifecycle_requires_online_saturation(setup):
     cfg = base.replace(cull=True, relaunch=True, saturate_online=False)
     with pytest.raises(ValueError, match="online"):
         simulate_resident(state, statics, bg, cfg, run, source=mk())
+
+
+def test_prescribed_wind_with_prognostic_mean_matches_scan(setup):
+    """Imposed wind + prognostic mean compose: both paths overwrite the
+    mean from wind_fn(t) at each step top (models/integrate.py:370-377 /
+    the kernel's st==0 overwrite) and then let the RK3 stages evolve it
+    prognostically within the step."""
+    base, bg, state, statics, mk, run, centers = setup
+    cfg = base.replace(cull=True, relaunch=False, m_max=np.pi / 1500.0,
+                       prognostic_mean=True)
+    cj = jnp.asarray(centers, jnp.float32)
+    wf = lambda t: (tidal_shear(cj, t, cfg), jnp.zeros_like(cj))
+    fin_s, stat_s, _ = mt.simulate(state, statics, bg, cfg, run, wind_fn=wf)
+    fin_k, stat_k, _ = simulate_resident(state, statics, bg, cfg, run,
+                                         wind_fn=wf)
+    assert (np.asarray(stat_s.active) == np.asarray(stat_k.active)).all()
+    _close(fin_s.rays.dens, fin_k.rays.dens, 1e-5)
+    _close(fin_s.rays.r, fin_k.rays.r, 1e-5)
+    _close(fin_s.rays.m, fin_k.rays.m, 1e-5)
+    _close(fin_s.mean.u, fin_k.mean.u, 1e-5)
+
+
+@pytest.mark.slow
+def test_lifecycle_long_horizon_matches_scan():
+    """100-step trajectory consistency with the full lifecycle on
+    (cull + relaunch + transient tidal wind) — the long-horizon analogue
+    of test_megakernel.py's calibrated-bound check.  Discrete lifecycle
+    events make fixed tight tolerances meaningless (a ULP flip on a
+    borderline cull relaunches a whole ray), so the scan path's own
+    sensitivity to a 1e-7 density perturbation calibrates the bound for
+    both the fields and the activity-mask disagreement count."""
+    base = mt.REFERENCE_RUN_CONFIG.replace(
+        saturate_online=True, dtype="float32",
+        projection_backend="mxu", interp_backend="mxu",
+        prognostic_mean=False, cull=True, relaunch=True,
+        m_max=np.pi / 1500.0)
+    gc = mt.GridConfig()
+    centers = gc.centers()
+    uu = np.asarray(mt.velocities_sine_homogeneous(
+        jnp.asarray(centers, jnp.float32), base)).astype(np.float32)
+    vv = np.zeros_like(uu)
+    bg = mt.make_background(gc, base, uu, vv, dtype=jnp.float32)
+    rays, statics = mt.gaussian_spectrum_source(
+        base, bg, N_RAY, z_launch=2000.0, dz_launch=500.0,
+        amplitude_alpha=0.003, dtype=jnp.float32)
+    state = mt.State(rays, mt.MeanState(jnp.asarray(uu), jnp.asarray(vv)))
+    run = mt.RunConfig(dt=120.0, n_steps=100, save_every=100)
+    source = (rays, statics)
+    cj = jnp.asarray(centers, jnp.float32)
+    wf = lambda t: (tidal_shear(cj, t, base), jnp.zeros_like(cj))
+
+    a, act_a, _ = mt.simulate(state, statics, bg, base, run,
+                              source=source, wind_fn=wf)
+    b, act_b, _ = simulate_resident(state, statics, bg, base, run,
+                                    source=source, wind_fn=wf)
+    sp = state._replace(
+        rays=state.rays._replace(dens=state.rays.dens * (1.0 + 1e-7)))
+    c, act_c, _ = mt.simulate(sp, statics, bg, base, run,
+                              source=source, wind_fn=wf)
+
+    def rel(x, y):
+        x, y = np.asarray(x), np.asarray(y)
+        return np.abs(x - y).max() / max(np.abs(x).max(), 1e-30)
+
+    mask_ab = (np.asarray(act_a.active) != np.asarray(act_b.active)).sum()
+    mask_ac = (np.asarray(act_a.active) != np.asarray(act_c.active)).sum()
+    assert mask_ab <= 3 * max(mask_ac, 2), (mask_ab, mask_ac)
+    # compare only slots both paths agree are active (disagreeing slots
+    # hold a relaunched vs evolved ray — a discrete, calibrated event)
+    both = np.asarray(act_a.active) & np.asarray(act_b.active)
+    for field in ("dens", "r", "m"):
+        xa = np.where(both, np.asarray(getattr(a.rays, field)), 0.0)
+        xb = np.where(both, np.asarray(getattr(b.rays, field)), 0.0)
+        diff = rel(xa, xb)
+        spread = rel(getattr(a.rays, field), getattr(c.rays, field))
+        assert diff < 3.0 * max(spread, 1e-6), (field, diff, spread)
+    diff = rel(a.mean.u, b.mean.u)
+    spread = rel(a.mean.u, c.mean.u)
+    assert diff < 3.0 * max(spread, 1e-6), ("u", diff, spread)
