@@ -289,25 +289,30 @@ def config_ladder_champion(dtype, n_steps=1000):
                  *_time_resident(cfg, bg, state, statics, n_steps=n_steps,
                                  source=source, wind_fn=wf)))
 
-    # 5: 1e6-ray ensemble, full coupling — megakernel per member (each
-    # 125k member fits the VMEM capacity), members sequential on one chip
-    from msgwam_tpu.ops.step_pallas import simulate_resident
-
+    # 5: 1e6-ray ensemble, full coupling — the ENTIRE 8-member ensemble as
+    # ONE streaming-megakernel launch: the tile range is partitioned among
+    # members in-kernel (independent winds, shared sequential flux
+    # accumulator), so the ensemble runs at full streaming throughput with
+    # a single dispatch (was: 8 sequential per-member resident launches)
     cfg = mk(saturate_online=True)
     gc, bg, state, statics = build(cfg, 125_000, dtype=dtype)
     E = 8
+    bstate = jax.tree.map(lambda x: jnp.broadcast_to(x, (E,) + x.shape),
+                          state)
+    bstatics = jax.tree.map(lambda x: jnp.broadcast_to(x, (E,) + x.shape),
+                            statics)
     run = mt.RunConfig(dt=120.0, n_steps=n_steps, save_every=n_steps)
-    f = jax.jit(lambda s, st: simulate_resident(s, st, bg, cfg, run))
+    f = jax.jit(lambda s, st: mt.simulate_streaming_ensemble(
+        s, st, bg, cfg, run))
     t0 = time.perf_counter()
-    jax.block_until_ready(f(state, statics))
+    jax.block_until_ready(f(bstate, bstatics))
     compile_s = time.perf_counter() - t0
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
-        outs = [f(state, statics) for _ in range(E)]
-        jax.block_until_ready(outs)
+        jax.block_until_ready(f(bstate, bstatics))
         best = min(best, time.perf_counter() - t0)
-    rows.append(("5: 1e6 ensemble (8x125k)", 1_000_000, "mega/member",
+    rows.append(("5: 1e6 ensemble (8x125k)", 1_000_000, "mega-ens",
                  best / n_steps, compile_s))
 
     print(f"# BASELINE config ladder (champion backends) — "

@@ -52,5 +52,6 @@ from .ops import (  # noqa: F401
     wavenumber_tendencies,
 )
 from .ops.step_pallas import simulate_resident  # noqa: F401
+from .ops.step_pallas_stream import simulate_streaming_ensemble  # noqa: F401
 
 __version__ = "0.1.0"

@@ -88,6 +88,7 @@ def _kernel(
     n_tab: int, n_flux_cells: int, c_pad: int, w_cells: int,
     online: bool, prognostic: bool, faithful: bool, t_rows: int,
     cull: bool = False, relaunch: bool = False, prescribed: bool = False,
+    n_members: int = 1,
 ):
     # optional lifecycle inputs (in signature order): the per-step wind
     # table, the relaunch template, then the aliased dens/r/m(/act)
@@ -140,6 +141,23 @@ def _kernel(
     last_body = (step == n_steps - 1) & (st == n_st - 1) \
         & (tl == n_tiles - 1)
     pp_phase = (step == n_steps - 1) & (st == n_st - 1)
+
+    # --- ensemble tiling --------------------------------------------------
+    # n_members > 1 runs a whole independent-member ensemble in this one
+    # launch: the tile range is partitioned contiguously among members
+    # (each member's ray slabs padded to whole tiles host-side), and since
+    # tiles execute strictly sequentially, ONE flux accumulator serves all
+    # members — it is zeroed at each member's first tile and consumed into
+    # that member's wind at its last tile.  Only the wind state (uv_s) and
+    # its RK3 register (quv) carry a member axis, as stacked (E*c_pad, 8)
+    # column blocks.  Members share bg/config (ensemble.py's config-5
+    # contract); per-member state diversity lives in the ray slabs.
+    tpm = n_tiles // n_members
+    me = tl // tpm
+    lt = tl - me * tpm                 # tile index within the member
+    m_first = lt == 0
+    m_last = lt == tpm - 1
+    msl = pl.ds(me * c_pad, c_pad)     # this member's wind column block
 
     # --- double-buffered DMA pipeline -------------------------------------
     # Linear body index g selects the buffer-set parity.  Loads for body g
@@ -224,11 +242,11 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )                                               # (c_pad, 8)
 
-    # --- per-stage setup (before any tile of this stage) -------------------
-    @pl.when((tl == 0) & (st < 3))
+    # --- per-stage setup (before any tile of this member's stage slice) ----
+    @pl.when(m_first & (st < 3))
     def _():
         sh_cols = jax.lax.dot_general(
-            maps_ref[0:c_pad, :], uv_s[:],
+            maps_ref[0:c_pad, :], uv_s[msl, :],
             dimension_numbers=((((0,), (0,))), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                   # (c_pad, 8)
@@ -497,8 +515,8 @@ def _kernel(
             _post_stage(dens_st, drr_st, dmm_st)
             kahan_acc(tile_acc, pl.ds(0, c_pad))
 
-        # --- stage completion: flux -> wind (last tile of the stage) -------
-        @pl.when(tl == n_tiles - 1)
+        # --- stage completion: flux -> wind (member's last tile) -----------
+        @pl.when(m_last)
         def _():
             if prognostic:
                 grad = jax.lax.dot_general(
@@ -506,7 +524,7 @@ def _kernel(
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )                                           # (c_pad, 8)
-                uvT = uv_s[:]
+                uvT = uv_s[msl, :]
                 du_col = f0 * uvT[:, 1:2] \
                     - (cols_ref[:, 1:2] + grad[:, 0:1]) * cols_ref[:, 3:4]
                 dv_col = -f0 * uvT[:, 0:1] \
@@ -519,11 +537,12 @@ def _kernel(
                                    jnp.where(st == 2, 153.0 / 128.0, 0.0))
                 b_coef = jnp.where(st == 1, 15.0 / 16.0,
                                    jnp.where(st == 2, 8.0 / 15.0, 1.0))
-                q_new = jnp.where(first, dt * duv, dt * duv - c_coef * quv[:])
-                uv_s[:] = jnp.where(first, uvT + q_new / 3.0,
-                                    uvT + b_coef * q_new)
-                quv[:] = q_new
-            uv_o[:] = uv_s[:]
+                q_new = jnp.where(first, dt * duv,
+                                  dt * duv - c_coef * quv[msl, :])
+                uv_s[msl, :] = jnp.where(first, uvT + q_new / 3.0,
+                                         uvT + b_coef * q_new)
+                quv[msl, :] = q_new
+            uv_o[msl, :] = uv_s[msl, :]
 
     def _offline_saturation_tile():
         # driver-side direct saturation with FD rates across the completed
@@ -659,17 +678,24 @@ def _streamkernel_call(
     n_tiles = n_rows // t_rows
     c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
     prescribed = wind is not None
+    # ensemble: uvT stacks one (c_pad, 8) wind-column block per member
+    n_members = uvT.shape[0] // c_pad
+    if n_members * c_pad != uvT.shape[0] or n_tiles % max(n_members, 1):
+        raise ValueError("uvT rows / tile count not member-divisible")
     kernel = functools.partial(
         _kernel, n_tab=n_tab, n_flux_cells=n_flux_cells, c_pad=c_pad,
         w_cells=w_cells, online=online, prognostic=prognostic,
         faithful=faithful, t_rows=t_rows,
         cull=cull, relaunch=relaunch, prescribed=prescribed,
+        n_members=n_members,
     )
     n_st = 3 if online else 4
     n_arr = (6 if online else 8) + (1 if cull else 0)
     n_aliased = 3 + (1 if cull else 0)
+
     tile = pl.BlockSpec((t_rows, LANE), lambda i, s, t: (t, 0))
     col8 = pl.BlockSpec((c_pad, 8), lambda i, s, t: (0, 0))
+    uv8 = pl.BlockSpec((n_members * c_pad, 8), lambda i, s, t: (0, 0))
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     big = jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32)
 
@@ -705,14 +731,15 @@ def _streamkernel_call(
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.SMEM),
              pl.BlockSpec((2 * c_pad, c_pad), lambda i, s, t: (0, 0)),
-             col8, col8]
+             col8, uv8]
             + [tile] * 7 + [act_spec]        # frozen per-ray fields
             + extra_specs
             + [anyspec] * n_aliased          # state (aliased in-place)
         ),
-        out_specs=tuple([anyspec] * n_out_any + [col8]),
+        out_specs=tuple([anyspec] * n_out_any + [uv8]),
         out_shape=tuple([big] * n_out_any
-                        + [jax.ShapeDtypeStruct((c_pad, 8), jnp.float32)]),
+                        + [jax.ShapeDtypeStruct((n_members * c_pad, 8),
+                                                jnp.float32)]),
         input_output_aliases=aliases,
         scratch_shapes=(
             [pltpu.VMEM((2 * t_rows, LANE), jnp.float32)
@@ -724,8 +751,8 @@ def _streamkernel_call(
                 pltpu.VMEM((c_pad, 8), jnp.float32),   # stage tables
                 pltpu.VMEM((c_pad, 8), jnp.float32),   # flux accumulator
                 pltpu.VMEM((c_pad, 8), jnp.float32),   # Kahan compensation
-                pltpu.VMEM((c_pad, 8), jnp.float32),   # q_uv
-                pltpu.VMEM((c_pad, 8), jnp.float32),   # wind (whole-run)
+                pltpu.VMEM((n_members * c_pad, 8), jnp.float32),  # q_uv
+                pltpu.VMEM((n_members * c_pad, 8), jnp.float32),  # wind
                 pltpu.SemaphoreType.DMA((2, n_arr)),   # load semaphores
                 pltpu.SemaphoreType.DMA((2, n_arr)),   # store semaphores
                 pltpu.SemaphoreType.DMA(()),           # dens_prop semaphore
@@ -961,3 +988,148 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
     history = (history_state, jnp.stack(act_frames),
                jnp.stack(prop_frames))
     return final, statics, history
+
+
+def simulate_streaming_ensemble(states, statics, bg, cfg, run,
+                                tile_rows: int = TILE_ROWS):
+    """Run a whole independent-member ensemble (BASELINE config 5) as ONE
+    whole-run streaming-megakernel launch per ``save_every`` window.
+
+    ``states``/``statics`` carry a leading ensemble axis on every leaf
+    (the :func:`msgwam_tpu.parallel.stack_ensemble` layout); members share
+    ``bg``/``cfg``.  Each member's ray slabs are padded to whole tiles and
+    concatenated, the tile range is partitioned contiguously among members
+    inside the kernel, and only the wind state and its RK3 register carry
+    a member axis (stacked ``(E*c_pad, 8)`` column blocks) — the flux
+    accumulator is shared because tiles execute strictly sequentially
+    (see ``_kernel``'s ensemble-tiling note).  This replaces
+    ``ensemble_simulate(..., sequential=True)``'s E separate
+    per-member launches (and their per-launch dispatch cost) with one
+    launch at full streaming-kernel throughput.
+
+    Scope: float32, ``hprop=False``, online saturation, no
+    cull/relaunch/imposed wind (per-member tables not yet plumbed).
+
+    Returns ``(final_states, statics, mean_history)`` where
+    ``final_states`` has the leading ensemble axis back on every leaf and
+    ``mean_history`` is a :class:`MeanState` of shape
+    ``(n_chunks, E, n_cell)`` — one frame per ``save_every`` window,
+    matching ``ensemble_simulate``'s default ``observe`` cadence.
+    """
+    from ..state import RayState, MeanState, State
+    from .step_pallas import build_operators
+
+    if cfg.hprop:
+        raise ValueError("simulate_streaming_ensemble requires hprop=False")
+    if not cfg.saturate_online:
+        raise ValueError(
+            "simulate_streaming_ensemble requires saturate_online=True")
+    if cfg.cull or cfg.relaunch:
+        raise ValueError(
+            "in-kernel lifecycle is single-member; run lifecycle ensembles "
+            "through ensemble_simulate()")
+    if run.n_steps % run.save_every:
+        raise ValueError("n_steps must be divisible by save_every")
+    rays, mean = states.rays, states.mean
+    for name, arr in (("dens", rays.dens), ("u", mean.u)):
+        if jnp.asarray(arr).dtype != np.float32:
+            raise TypeError(
+                f"simulate_streaming_ensemble computes in float32 but "
+                f"{name} has dtype {jnp.asarray(arr).dtype}")
+
+    E, n = rays.r.shape
+    n_tab = bg.centers.shape[0]
+    n_flux_cells = n_tab - 1
+    c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
+    maps, cols = build_operators(bg, cfg, n_tab, c_pad)
+
+    f0 = 2.0 * ROT_EARTH * np.sin(float(cfg.phi0))
+    centers_np = np.asarray(bg.centers, np.float64)
+    faces_np = np.asarray(bg.faces, np.float64)
+    dz = np.float32(centers_np[1] - centers_np[0])
+    rdiv = 1.0 if cfg.faithful_offline_rates else float(run.dt)
+    params = jnp.asarray(np.array([
+        np.float32(centers_np[0]), dz, np.float32(faces_np[1]),
+        np.float32(run.dt), np.float32(cfg.bvf), np.float32(cfg.kappa),
+        np.float32(f0), np.float32(rdiv),
+        np.float32(cfg.m_max), np.float32(faces_np[0]),
+        np.float32(faces_np[-1]),
+    ], dtype=np.float32))
+
+    pad_unit = tile_rows * LANE
+    m_pad = _ceil_to(n, pad_unit)
+    while E * (m_pad // pad_unit) < 3:   # pipeline RAW bound (see _kernel)
+        m_pad += pad_unit
+    pad = m_pad - n
+
+    def shape2(x, fill=None):
+        x = jnp.asarray(x).astype(jnp.float32)
+        if fill is not None:
+            x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=fill)
+        else:
+            x = jnp.pad(x, ((0, 0), (0, pad)), mode="edge")
+        return x.reshape(-1, LANE)       # member slabs contiguous
+
+    kf = shape2(rays.k)
+    lf = shape2(rays.l)
+    drf = shape2(rays.dr)
+    phif = shape2(rays.phi)
+    dkkf = shape2(statics.dkk)
+    dllf = shape2(statics.dll)
+    dmf = shape2(rays.dm)
+    areaf = shape2(statics.rr_mm_area)
+    sphi = jnp.sin(phif)
+    statics_fields = (
+        kf, lf, drf,
+        jnp.abs(dkkf * dllf * dmf),                       # pv
+        (2.0 * ROT_EARTH) ** 2 * sphi * sphi,             # ff2
+        kf * kf + lf * lf,                                # kh2
+        dkkf * dllf * areaf,                              # pvb
+        shape2(statics.active.astype(jnp.float32), fill=0.0),
+    )
+
+    n_cell = mean.u.shape[1]
+    uv0 = jnp.zeros((E, c_pad, 8), jnp.float32)
+    uv0 = uv0.at[:, :n_cell, 0].set(jnp.asarray(mean.u, jnp.float32))
+    uv0 = uv0.at[:, :n_cell, 1].set(jnp.asarray(mean.v, jnp.float32))
+    uv0 = uv0.reshape(E * c_pad, 8)
+
+    w_cells = min(_ceil_to(max(cfg.window_cells, WIN), 8), c_pad) \
+        if cfg.window_cells > 0 else WIN
+    interpret = jax.default_backend() != "tpu"
+    unshape = lambda x: x.reshape(E, m_pad)[:, :n]
+    S = run.save_every
+
+    def chunk(carry, _):
+        dens, r, m, uvT = carry
+        outs = _streamkernel_call(
+            params, maps, cols, uvT, *statics_fields,
+            dens, r, m,
+            n_steps=S, n_tab=n_tab,
+            n_flux_cells=n_flux_cells, w_cells=w_cells,
+            online=True,
+            prognostic=bool(cfg.prognostic_mean),
+            faithful=bool(cfg.faithful_saturation),
+            interpret=interpret, t_rows=tile_rows,
+        )
+        dens, r, m, uvT, _pp = outs[:5]
+        new_carry = (dens, r, m, uvT)
+        return new_carry, uvT
+
+    carry0 = (shape2(rays.dens), shape2(rays.r), shape2(rays.m), uv0)
+    n_outer = run.n_steps // run.save_every
+    carry, huv = jax.lax.scan(chunk, carry0, jnp.arange(n_outer))
+
+    dens_f, r_f, m_f, uvT_f = carry
+    uv_f = uvT_f.reshape(E, c_pad, 8)
+    final = State(
+        RayState(
+            dens=unshape(dens_f), lam=rays.lam, phi=rays.phi,
+            r=unshape(r_f), dr=rays.dr, k=rays.k, l=rays.l,
+            m=unshape(m_f), dm=rays.dm,
+        ),
+        MeanState(uv_f[:, :n_cell, 0], uv_f[:, :n_cell, 1]),
+    )
+    huv = huv.reshape(n_outer, E, c_pad, 8)
+    mean_history = MeanState(huv[:, :, :n_cell, 0], huv[:, :, :n_cell, 1])
+    return final, statics, mean_history

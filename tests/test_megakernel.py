@@ -10,7 +10,7 @@ import msgwam_tpu as mt
 from msgwam_tpu.ops.step_pallas import simulate_resident
 
 
-def _setup(n=900, pad_to=1024):
+def _setup(n=900, pad_to=1024, amp=None):
     cfg = mt.REFERENCE_RUN_CONFIG.replace(
         saturate_online=True, dtype="float32",
         projection_backend="mxu", interp_backend="mxu",
@@ -21,7 +21,9 @@ def _setup(n=900, pad_to=1024):
         mt.velocities_sine_homogeneous(jnp.asarray(centers, jnp.float32), cfg)
     ).astype(np.float32)
     bg = mt.make_background(gc, cfg, uu, np.zeros_like(uu), dtype=jnp.float32)
-    rays, statics = mt.gaussian_spectrum_source(cfg, bg, n, dtype=jnp.float32)
+    kw = {} if amp is None else {"amplitude_alpha": amp}
+    rays, statics = mt.gaussian_spectrum_source(cfg, bg, n, dtype=jnp.float32,
+                                                **kw)
     rays, statics = mt.pad_rays(rays, statics, pad_to)
     state = mt.State(
         rays, mt.MeanState(jnp.asarray(uu), jnp.zeros_like(jnp.asarray(uu)))
@@ -307,3 +309,48 @@ def test_simulate_resident_is_differentiable():
         lambda s: mt.simulate(s, statics, bg, xla_cfg, run)))(1.0)
     assert np.isfinite(float(g_mega)) and float(g_mega) != 0.0
     np.testing.assert_allclose(float(g_mega), float(g_xla), rtol=5e-4)
+
+
+def test_streaming_ensemble_matches_per_member_runs():
+    """One-launch ensemble (BASELINE config 5 in a single pallas_call):
+    each member of the partitioned tile range must evolve exactly as its
+    own single-member streaming run — independent winds, shared flux
+    accumulator correctly reset at member boundaries."""
+    from msgwam_tpu.ops.step_pallas_stream import (
+        simulate_streaming, simulate_streaming_ensemble)
+    from msgwam_tpu.parallel import stack_ensemble
+
+    E = 3
+    members = []
+    for e in range(E):
+        cfg, bg, state, statics = _setup(n=2000, pad_to=2048,
+                                         amp=0.003 * (1 + 0.2 * e))
+        members.append((state, statics))
+    bstates, bstatics = stack_ensemble(members)
+    run = mt.RunConfig(dt=120.0, n_steps=4, save_every=2)
+
+    fin, _, mh = simulate_streaming_ensemble(bstates, bstatics, bg, cfg, run)
+    assert mh.u.shape == (2, E, bg.centers.shape[0] - 1) \
+        or mh.u.shape == (2, E, members[0][0].mean.u.shape[0])
+    for e in range(E):
+        s1, st1 = members[e]
+        f1, _, _ = simulate_streaming(s1, st1, bg, cfg, run)
+        assert _rel(f1.rays.dens, fin.rays.dens[e]) < 1e-5
+        assert _rel(f1.rays.r, fin.rays.r[e]) < 1e-5
+        assert _rel(f1.rays.m, fin.rays.m[e]) < 1e-5
+        assert _rel(f1.mean.u, fin.mean.u[e]) < 1e-5
+
+
+def test_streaming_ensemble_rejects_lifecycle_and_offline():
+    from msgwam_tpu.ops.step_pallas_stream import simulate_streaming_ensemble
+    from msgwam_tpu.parallel import stack_ensemble
+
+    cfg, bg, state, statics = _setup(n=500, pad_to=512)
+    bstates, bstatics = stack_ensemble([(state, statics)] * 2)
+    run = mt.RunConfig(dt=120.0, n_steps=2, save_every=2)
+    with pytest.raises(ValueError, match="lifecycle"):
+        simulate_streaming_ensemble(
+            bstates, bstatics, bg, cfg.replace(cull=True), run)
+    with pytest.raises(ValueError, match="online"):
+        simulate_streaming_ensemble(
+            bstates, bstatics, bg, cfg.replace(saturate_online=False), run)
