@@ -769,6 +769,51 @@ def _streamkernel_call(
     return dens_n, r_n, m_n, uv, pp
 
 
+def _grid_params(bg, cfg, run):
+    """SMEM params vector (positionally coupled to ``_G0C.._FHI``) plus
+    the grid constants and window width shared by both streaming drivers."""
+    n_tab = bg.centers.shape[0]
+    n_flux_cells = n_tab - 1
+    c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
+    f0 = 2.0 * ROT_EARTH * np.sin(float(cfg.phi0))
+    centers_np = np.asarray(bg.centers, np.float64)
+    faces_np = np.asarray(bg.faces, np.float64)
+    dz = np.float32(centers_np[1] - centers_np[0])
+    rdiv = 1.0 if cfg.faithful_offline_rates else float(run.dt)
+    params = jnp.asarray(np.array([
+        np.float32(centers_np[0]), dz, np.float32(faces_np[1]),
+        np.float32(run.dt), np.float32(cfg.bvf), np.float32(cfg.kappa),
+        np.float32(f0), np.float32(rdiv),
+        np.float32(cfg.m_max), np.float32(faces_np[0]),
+        np.float32(faces_np[-1]),
+    ], dtype=np.float32))
+    w_cells = min(_ceil_to(max(cfg.window_cells, WIN), 8), c_pad) \
+        if cfg.window_cells > 0 else WIN
+    return params, n_tab, n_flux_cells, c_pad, w_cells
+
+
+def _frozen_fields(rays, statics, shape2):
+    """Frozen per-ray slabs + run constants (hprop off), in the kernel's
+    input order: k, l, dr, pv, ff2, kh2, pvb, act."""
+    kf = shape2(rays.k)
+    lf = shape2(rays.l)
+    drf = shape2(rays.dr)
+    phif = shape2(rays.phi)
+    dkkf = shape2(statics.dkk)
+    dllf = shape2(statics.dll)
+    dmf = shape2(rays.dm)
+    areaf = shape2(statics.rr_mm_area)
+    sphi = jnp.sin(phif)
+    return (
+        kf, lf, drf,
+        jnp.abs(dkkf * dllf * dmf),                       # pv
+        (2.0 * ROT_EARTH) ** 2 * sphi * sphi,             # ff2
+        kf * kf + lf * lf,                                # kh2
+        dkkf * dllf * areaf,                              # pvb
+        shape2(statics.active.astype(jnp.float32), fill=0.0),
+    )
+
+
 def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
                        tile_rows: int = TILE_ROWS,
                        source=None, wind_fn=None, t0: float = 0.0):
@@ -833,23 +878,8 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
 
     rays, mean = state.rays, state.mean
     n = rays.r.shape[0]
-    n_tab = bg.centers.shape[0]
-    n_flux_cells = n_tab - 1
-    c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
+    params, n_tab, n_flux_cells, c_pad, w_cells = _grid_params(bg, cfg, run)
     maps, cols = build_operators(bg, cfg, n_tab, c_pad)
-
-    f0 = 2.0 * ROT_EARTH * np.sin(float(cfg.phi0))
-    centers_np = np.asarray(bg.centers, np.float64)
-    faces_np = np.asarray(bg.faces, np.float64)
-    dz = np.float32(centers_np[1] - centers_np[0])
-    rdiv = 1.0 if cfg.faithful_offline_rates else float(run.dt)
-    params = jnp.asarray(np.array([
-        np.float32(centers_np[0]), dz, np.float32(faces_np[1]),
-        np.float32(run.dt), np.float32(cfg.bvf), np.float32(cfg.kappa),
-        np.float32(f0), np.float32(rdiv),
-        np.float32(cfg.m_max), np.float32(faces_np[0]),
-        np.float32(faces_np[-1]),
-    ], dtype=np.float32))
 
     pad_unit = tile_rows * LANE
     # >= 3 tiles: the double-buffered pipeline's HBM RAW bound (a tile's
@@ -874,26 +904,7 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
         return out
 
     # frozen fields + per-ray run constants, precomputed once (hprop off)
-    kf = shape2(rays.k)
-    lf = shape2(rays.l)
-    drf = shape2(rays.dr)
-    phif = shape2(rays.phi)
-    dkkf = shape2(statics.dkk)
-    dllf = shape2(statics.dll)
-    dmf = shape2(rays.dm)
-    areaf = shape2(statics.rr_mm_area)
-    sphi = jnp.sin(phif)
-    statics_fields = (
-        kf, lf, drf,
-        jnp.abs(dkkf * dllf * dmf),                       # pv
-        (2.0 * ROT_EARTH) ** 2 * sphi * sphi,             # ff2
-        kf * kf + lf * lf,                                # kh2
-        dkkf * dllf * areaf,                              # pvb
-        shape2(statics.active.astype(jnp.float32), fill=0.0),
-    )
-
-    w_cells = min(_ceil_to(max(cfg.window_cells, WIN), 8), c_pad) \
-        if cfg.window_cells > 0 else WIN
+    statics_fields = _frozen_fields(rays, statics, shape2)
     interpret = jax.default_backend() != "tpu"
     unshape = lambda x: x.reshape(-1)[:n]
     online = bool(cfg.saturate_online)
@@ -1038,23 +1049,8 @@ def simulate_streaming_ensemble(states, statics, bg, cfg, run,
                 f"{name} has dtype {jnp.asarray(arr).dtype}")
 
     E, n = rays.r.shape
-    n_tab = bg.centers.shape[0]
-    n_flux_cells = n_tab - 1
-    c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
+    params, n_tab, n_flux_cells, c_pad, w_cells = _grid_params(bg, cfg, run)
     maps, cols = build_operators(bg, cfg, n_tab, c_pad)
-
-    f0 = 2.0 * ROT_EARTH * np.sin(float(cfg.phi0))
-    centers_np = np.asarray(bg.centers, np.float64)
-    faces_np = np.asarray(bg.faces, np.float64)
-    dz = np.float32(centers_np[1] - centers_np[0])
-    rdiv = 1.0 if cfg.faithful_offline_rates else float(run.dt)
-    params = jnp.asarray(np.array([
-        np.float32(centers_np[0]), dz, np.float32(faces_np[1]),
-        np.float32(run.dt), np.float32(cfg.bvf), np.float32(cfg.kappa),
-        np.float32(f0), np.float32(rdiv),
-        np.float32(cfg.m_max), np.float32(faces_np[0]),
-        np.float32(faces_np[-1]),
-    ], dtype=np.float32))
 
     pad_unit = tile_rows * LANE
     m_pad = _ceil_to(n, pad_unit)
@@ -1070,23 +1066,7 @@ def simulate_streaming_ensemble(states, statics, bg, cfg, run,
             x = jnp.pad(x, ((0, 0), (0, pad)), mode="edge")
         return x.reshape(-1, LANE)       # member slabs contiguous
 
-    kf = shape2(rays.k)
-    lf = shape2(rays.l)
-    drf = shape2(rays.dr)
-    phif = shape2(rays.phi)
-    dkkf = shape2(statics.dkk)
-    dllf = shape2(statics.dll)
-    dmf = shape2(rays.dm)
-    areaf = shape2(statics.rr_mm_area)
-    sphi = jnp.sin(phif)
-    statics_fields = (
-        kf, lf, drf,
-        jnp.abs(dkkf * dllf * dmf),                       # pv
-        (2.0 * ROT_EARTH) ** 2 * sphi * sphi,             # ff2
-        kf * kf + lf * lf,                                # kh2
-        dkkf * dllf * areaf,                              # pvb
-        shape2(statics.active.astype(jnp.float32), fill=0.0),
-    )
+    statics_fields = _frozen_fields(rays, statics, shape2)
 
     n_cell = mean.u.shape[1]
     uv0 = jnp.zeros((E, c_pad, 8), jnp.float32)
@@ -1094,8 +1074,6 @@ def simulate_streaming_ensemble(states, statics, bg, cfg, run,
     uv0 = uv0.at[:, :n_cell, 1].set(jnp.asarray(mean.v, jnp.float32))
     uv0 = uv0.reshape(E * c_pad, 8)
 
-    w_cells = min(_ceil_to(max(cfg.window_cells, WIN), 8), c_pad) \
-        if cfg.window_cells > 0 else WIN
     interpret = jax.default_backend() != "tpu"
     unshape = lambda x: x.reshape(E, m_pad)[:, :n]
     S = run.save_every

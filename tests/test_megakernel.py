@@ -315,23 +315,25 @@ def test_streaming_ensemble_matches_per_member_runs():
     """One-launch ensemble (BASELINE config 5 in a single pallas_call):
     each member of the partitioned tile range must evolve exactly as its
     own single-member streaming run — independent winds, shared flux
-    accumulator correctly reset at member boundaries."""
+    accumulator correctly reset at member boundaries.  Members span TWO
+    tiles each (n=10000 -> m_pad=16384), so the mid-member accumulation
+    path (m_first/m_last on different tiles) is exercised, matching the
+    production shape (8 members x 16 tiles)."""
     from msgwam_tpu.ops.step_pallas_stream import (
         simulate_streaming, simulate_streaming_ensemble)
     from msgwam_tpu.parallel import stack_ensemble
 
-    E = 3
+    E = 2
     members = []
     for e in range(E):
-        cfg, bg, state, statics = _setup(n=2000, pad_to=2048,
+        cfg, bg, state, statics = _setup(n=10000, pad_to=10240,
                                          amp=0.003 * (1 + 0.2 * e))
         members.append((state, statics))
     bstates, bstatics = stack_ensemble(members)
     run = mt.RunConfig(dt=120.0, n_steps=4, save_every=2)
 
     fin, _, mh = simulate_streaming_ensemble(bstates, bstatics, bg, cfg, run)
-    assert mh.u.shape == (2, E, bg.centers.shape[0] - 1) \
-        or mh.u.shape == (2, E, members[0][0].mean.u.shape[0])
+    assert mh.u.shape == (2, E, members[0][0].mean.u.shape[0])
     for e in range(E):
         s1, st1 = members[e]
         f1, _, _ = simulate_streaming(s1, st1, bg, cfg, run)
