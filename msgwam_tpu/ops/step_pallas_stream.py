@@ -88,7 +88,7 @@ def _kernel(
     n_tab: int, n_flux_cells: int, c_pad: int, w_cells: int,
     online: bool, prognostic: bool, faithful: bool, t_rows: int,
     cull: bool = False, relaunch: bool = False, prescribed: bool = False,
-    n_members: int = 1,
+    n_members: int = 1, ablate: str = "",
 ):
     # optional lifecycle inputs (in signature order): the per-step wind
     # table, the relaunch template, then the aliased dens/r/m(/act)
@@ -440,7 +440,14 @@ def _kernel(
 
             du_rows, dv_rows, rho_rows = [], [], []
             acc2 = jnp.zeros((W, 2), jnp.float32)
+            zrow = jnp.zeros((LANE,), jnp.float32)
             for j in range(T):
+                if ablate == "noloop":
+                    du_rows.append(zrow)
+                    dv_rows.append(zrow)
+                    if online:
+                        rho_rows.append(zrow)
+                    continue
                 Bf = jnp.maximum(
                     0.0, 1.0 - jnp.abs(qf_w[j, :][None, :] - col_win))
                 # one small MXU contraction replaces two VPU mul +
@@ -453,6 +460,8 @@ def _kernel(
                         0.0, 1.0 - jnp.abs(qr_w[j, :][None, :] - col_win))
                     rho_rows.append(dot(tab_rho, Br, ((0,), (0,)))[0, :])
 
+                if ablate == "nodeposit":
+                    continue
                 in_span = (colw >= nlow[j, :][None, :]) \
                     & (colw < nup[j, :][None, :])
                 wmat = jnp.where(
@@ -469,7 +478,8 @@ def _kernel(
                 [acc2, jnp.zeros((W, 6), jnp.float32)], axis=1)
             dens_st, drr_st, dmm_st = finish(du_rows, dv_rows, rho_rows)
             _post_stage(dens_st, drr_st, dmm_st)
-            kahan_acc(tile_acc, pl.ds(win, W))
+            if not ablate:
+                kahan_acc(tile_acc, pl.ds(win, W))
 
         @pl.when(~ok)
         def _full():
@@ -485,7 +495,14 @@ def _kernel(
 
             du_rows, dv_rows, rho_rows = [], [], []
             acc2 = jnp.zeros((c_pad, 2), jnp.float32)
+            zrow = jnp.zeros((LANE,), jnp.float32)
             for j in range(T):
+                if ablate == "noloop":
+                    du_rows.append(zrow)
+                    dv_rows.append(zrow)
+                    if online:
+                        rho_rows.append(zrow)
+                    continue
                 Bf = jnp.maximum(
                     0.0, 1.0 - jnp.abs(qf_t[j, :][None, :] - col_full_f))
                 sh2 = dot(shear_rows, Bf, ((1,), (0,)))
@@ -497,6 +514,8 @@ def _kernel(
                             qr_t[j, :][None, :] - col_full_f))
                     rho_rows.append(dot(rho_row, Br, ((1,), (0,)))[0, :])
 
+                if ablate == "nodeposit":
+                    continue
                 in_span = (col_full >= nlow[j, :][None, :]) \
                     & (col_full < nup[j, :][None, :])
                 wmat = jnp.where(
@@ -513,7 +532,8 @@ def _kernel(
                 [acc2, jnp.zeros((c_pad, 6), jnp.float32)], axis=1)
             dens_st, drr_st, dmm_st = finish(du_rows, dv_rows, rho_rows)
             _post_stage(dens_st, drr_st, dmm_st)
-            kahan_acc(tile_acc, pl.ds(0, c_pad))
+            if not ablate:
+                kahan_acc(tile_acc, pl.ds(0, c_pad))
 
         # --- stage completion: flux -> wind (member's last tile) -----------
         @pl.when(m_last)
@@ -662,7 +682,7 @@ def _kernel(
     jax.jit,
     static_argnames=("n_steps", "n_tab", "n_flux_cells", "w_cells",
                      "online", "prognostic", "faithful", "interpret",
-                     "t_rows", "cull", "relaunch"),
+                     "t_rows", "cull", "relaunch", "ablate"),
 )
 def _streamkernel_call(
     params, maps, cols, uvT,
@@ -673,6 +693,7 @@ def _streamkernel_call(
     t_rows: int = TILE_ROWS,
     wind=None, src=None, act_s=None,
     cull: bool = False, relaunch: bool = False,
+    ablate: str = "",
 ):
     n_rows = r.shape[0]
     n_tiles = n_rows // t_rows
@@ -687,7 +708,7 @@ def _streamkernel_call(
         w_cells=w_cells, online=online, prognostic=prognostic,
         faithful=faithful, t_rows=t_rows,
         cull=cull, relaunch=relaunch, prescribed=prescribed,
-        n_members=n_members,
+        n_members=n_members, ablate=ablate,
     )
     n_st = 3 if online else 4
     n_arr = (6 if online else 8) + (1 if cull else 0)
@@ -816,12 +837,19 @@ def _frozen_fields(rays, statics, shape2):
 
 def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
                        tile_rows: int = TILE_ROWS,
-                       source=None, wind_fn=None, t0: float = 0.0):
+                       source=None, wind_fn=None, t0: float = 0.0,
+                       _ablate: str = ""):
     """Whole-run streaming megakernel driver: same contract and history
     framing as :func:`msgwam_tpu.ops.step_pallas.simulate_resident`, with
     no VMEM capacity limit.  ``run.n_steps`` runs as
     ``n_steps // save_every`` launches of ``save_every`` in-kernel RK3
     steps each.
+
+    ``_ablate`` is a profiling-only switch (``tools/floor_ablation.py``)
+    that compile-time-strips parts of the per-tile work to decompose the
+    step-time floor: ``"nodeposit"`` drops the flux deposit,
+    ``"noloop"`` drops the whole per-row loop (interp + deposit).
+    Results are physically wrong under ablation; never set it otherwise.
     """
     from ..state import RayState, MeanState, State
     from .step_pallas import build_operators
@@ -946,6 +974,7 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
             interpret=interpret, t_rows=tile_rows,
             wind=wt, src=src_slabs, act_s=act_c,
             cull=do_cull, relaunch=do_relaunch,
+            ablate=_ablate,
         )
         dens, r, m, uvT, pp = outs[:5]
         new_carry = (dens, r, m, uvT) + ((outs[5],) if do_cull else ())
