@@ -1030,9 +1030,11 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
     return final, statics, history
 
 
-def simulate_streaming_ensemble(states, statics, bg, cfg, run,
-                                tile_rows: int = TILE_ROWS):
-    """Run a whole independent-member ensemble (BASELINE config 5) as ONE
+def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
+                                      tile_rows: int = TILE_ROWS):
+    """Kernel implementation behind :func:`simulate_streaming_ensemble`.
+
+    Runs a whole independent-member ensemble (BASELINE config 5) as ONE
     whole-run streaming-megakernel launch per ``save_every`` window.
 
     ``states``/``statics`` carry a leading ensemble axis on every leaf
@@ -1140,3 +1142,52 @@ def simulate_streaming_ensemble(states, statics, bg, cfg, run,
     huv = huv.reshape(n_outer, E, c_pad, 8)
     mean_history = MeanState(huv[:, :, :n_cell, 0], huv[:, :, :n_cell, 1])
     return final, statics, mean_history
+
+
+def simulate_streaming_ensemble(states, statics, bg, cfg, run,
+                                tile_rows: int = TILE_ROWS):
+    """Differentiable front for :func:`_simulate_streaming_ensemble_impl`.
+
+    **Differentiable in (states, statics)** via a ``custom_vjp`` whose
+    backward pass differentiates the numerically equivalent XLA scan path
+    vmapped over members (the ``simulate_resident`` pattern,
+    ``step_pallas.py:633-659``); ``bg`` is closed over — the kernel's
+    flux→wind operators are host-built from a concrete background.  The
+    backward compiles a vmapped scan, so gradients cost scan-path, not
+    kernel, throughput.  See the impl's docstring for the kernel design,
+    scope, and return contract.
+    """
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+    def diff(s, st, cfg_, run_, t_rows):
+        return _simulate_streaming_ensemble_impl(s, st, bg, cfg_, run_,
+                                                 t_rows)
+
+    def fwd(s, st, cfg_, run_, t_rows):
+        return diff(s, st, cfg_, run_, t_rows), (s, st)
+
+    def bwd(cfg_, run_, t_rows, res, g):
+        from ..models.integrate import simulate
+        from ..state import MeanState
+
+        s, st = res
+        xla_cfg = cfg_.replace(rhs_backend="xla", window_cells=0,
+                               projection_backend="mxu",
+                               interp_backend="mxu")
+
+        def generic(s_, st_):
+            def one(ms, mst):
+                fin, _, hist = simulate(ms, mst, bg, xla_cfg, run_,
+                                        validate=False)
+                return fin, hist[0].mean
+
+            fins, means = jax.vmap(one)(s_, st_)
+            mean_hist = MeanState(jnp.moveaxis(means.u, 0, 1),
+                                  jnp.moveaxis(means.v, 0, 1))
+            return fins, st_, mean_hist
+
+        _, vjp = jax.vjp(generic, s, st)
+        return vjp(g)
+
+    diff.defvjp(fwd, bwd)
+    return diff(states, statics, cfg, run, tile_rows)

@@ -356,3 +356,35 @@ def test_streaming_ensemble_rejects_lifecycle_and_offline():
     with pytest.raises(ValueError, match="online"):
         simulate_streaming_ensemble(
             bstates, bstatics, bg, cfg.replace(saturate_online=False), run)
+
+
+def test_streaming_ensemble_is_differentiable():
+    """jax.grad through a one-launch ensemble: the custom_vjp backward
+    differentiates the vmapped scan path, so gradients match it."""
+    from msgwam_tpu.ops.step_pallas_stream import simulate_streaming_ensemble
+    from msgwam_tpu.parallel import stack_ensemble
+
+    cfg, bg, state, statics = _setup(n=300, pad_to=512)
+    bstates, bstatics = stack_ensemble([(state, statics)] * 2)
+    run = mt.RunConfig(dt=120.0, n_steps=3, save_every=3)
+    xla_cfg = cfg.replace(rhs_backend="xla", window_cells=0)
+
+    def loss_for(sim):
+        def loss(scale):
+            s = bstates._replace(
+                rays=bstates.rays._replace(dens=bstates.rays.dens * scale))
+            final, _, _ = sim(s)
+            return jnp.sum((final.mean.u - bstates.mean.u) ** 2)
+        return loss
+
+    g_ens = jax.grad(loss_for(lambda s: simulate_streaming_ensemble(
+        s, bstatics, bg, cfg, run)))(1.0)
+
+    def xla_sim(s):
+        fin, _ = jax.vmap(lambda ms, mst: mt.simulate(
+            ms, mst, bg, xla_cfg, run, validate=False)[:2])(s, bstatics)
+        return fin, None, None
+
+    g_xla = jax.grad(loss_for(xla_sim))(1.0)
+    assert np.isfinite(float(g_ens)) and float(g_ens) != 0.0
+    np.testing.assert_allclose(float(g_ens), float(g_xla), rtol=5e-4)
