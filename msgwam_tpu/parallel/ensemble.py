@@ -49,6 +49,7 @@ def ensemble_simulate(
     observe: Optional[Callable] = None,
     axis: str = ENSEMBLE_AXIS,
     sequential: bool = False,
+    backend: str = "scan",
 ):
     """Run a batch of simulations (leading ensemble axis on every leaf of
     ``states``/``statics``), sharded over ``mesh`` if given.
@@ -59,7 +60,47 @@ def ensemble_simulate(
     weight-generation fusion (measured 180 ms/step for 8×125k members on one
     chip vs ~2.8 ms/step for the same 1e6 rays in one member), while
     sequential members each run at full single-member speed.
+
+    ``backend="mega"`` routes the whole batch through
+    :func:`msgwam_tpu.simulate_streaming_ensemble` — each device runs its
+    local members as ONE whole-run streaming-megakernel launch per
+    ``save_every`` window (members partitioned over the kernel's tile
+    range), ~1.4× the scan path's throughput per device.  Scope: online
+    saturation, f32, no lifecycle (the kernel's guards apply); ``observe``
+    is ignored — the return is that function's
+    ``(final, statics, mean_history)`` contract, with every leaf sharded
+    ``P(axis)`` over ``mesh`` (members must divide the mesh axis).
     """
+    if backend == "mega":
+        from ..ops.step_pallas_stream import simulate_streaming_ensemble
+        from ..state import MeanState
+
+        if mesh is None:
+            return simulate_streaming_ensemble(states, statics, bg, cfg, run)
+        shard = NamedSharding(mesh, P(axis))
+        states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
+        statics = jax.tree.map(lambda x: jax.device_put(x, shard), statics)
+        out_spec = (
+            jax.tree.map(lambda _: P(axis), states),
+            jax.tree.map(lambda _: P(axis), statics),
+            MeanState(P(None, axis), P(None, axis)),
+        )
+        # bg is closed over (replicated): the streaming driver reads the
+        # grid geometry host-side at trace time (_grid_params), so it must
+        # stay concrete rather than become a shard_map tracer
+        fn = jax.jit(jax.shard_map(
+            lambda s, st: simulate_streaming_ensemble(s, st, bg, cfg, run),
+            mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(axis), states),
+                      jax.tree.map(lambda _: P(axis), statics)),
+            out_specs=out_spec,
+            # pallas_call out_shapes carry no varying-across-mesh
+            # annotation (same as parallel/sharding.py)
+            check_vma=False,
+        ))
+        return fn(states, statics)
+    if backend != "scan":
+        raise ValueError(f"unknown ensemble backend {backend!r}")
     fn = build_ensemble_fn(
         cfg, run, mesh=mesh, observe=observe, axis=axis, sequential=sequential
     )
