@@ -75,6 +75,12 @@ def ensemble_simulate(
         from ..ops.step_pallas_stream import simulate_streaming_ensemble
         from ..state import MeanState
 
+        if observe is not None:
+            raise ValueError(
+                "backend='mega' returns the per-member mean history "
+                "directly and does not support an observe callback; "
+                "post-process its mean_history or use backend='scan'")
+
         if mesh is None:
             return simulate_streaming_ensemble(states, statics, bg, cfg, run)
         shard = NamedSharding(mesh, P(axis))
