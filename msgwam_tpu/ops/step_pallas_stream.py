@@ -1031,7 +1031,8 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
 
 
 def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
-                                      tile_rows: int = TILE_ROWS):
+                                      tile_rows: int = TILE_ROWS,
+                                      sources=None):
     """Kernel implementation behind :func:`simulate_streaming_ensemble`.
 
     Runs a whole independent-member ensemble (BASELINE config 5) as ONE
@@ -1049,8 +1050,13 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
     per-member launches (and their per-launch dispatch cost) with one
     launch at full streaming-kernel throughput.
 
-    Scope: float32, ``hprop=False``, online saturation, no
-    cull/relaunch/imposed wind (per-member tables not yet plumbed).
+    Scope: float32, ``hprop=False``, online saturation, no imposed wind
+    (the kernel's per-step wind table is member-shared; per-member tables
+    are not plumbed).  Cull/relaunch run IN-KERNEL exactly as in the
+    single-member driver — the lifecycle machinery is per-ray, so the
+    member partitioning is transparent to it; pass ``sources`` as a
+    stacked ``(RayState, RayStatics)`` template pair (leading ensemble
+    axis, the :func:`stack_ensemble` layout) when ``cfg.relaunch``.
 
     Returns ``(final_states, statics, mean_history)`` where
     ``final_states`` has the leading ensemble axis back on every leaf and
@@ -1066,10 +1072,12 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
     if not cfg.saturate_online:
         raise ValueError(
             "simulate_streaming_ensemble requires saturate_online=True")
-    if cfg.cull or cfg.relaunch:
+    do_cull = bool(cfg.cull or cfg.relaunch)
+    do_relaunch = bool(cfg.relaunch)
+    if do_relaunch and sources is None:
         raise ValueError(
-            "in-kernel lifecycle is single-member; run lifecycle ensembles "
-            "through ensemble_simulate()")
+            "cfg.relaunch requires stacked per-member source templates "
+            "(sources=(RayState, RayStatics) with a leading ensemble axis)")
     if run.n_steps % run.save_every:
         raise ValueError("n_steps must be divisible by save_every")
     rays, mean = states.rays, states.mean
@@ -1098,6 +1106,14 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
         return x.reshape(-1, LANE)       # member slabs contiguous
 
     statics_fields = _frozen_fields(rays, statics, shape2)
+    if do_relaunch:
+        src_rays, src_statics = sources
+        src_slabs = (shape2(src_rays.dens), shape2(src_rays.r),
+                     shape2(src_rays.m),
+                     shape2(src_statics.active.astype(jnp.float32),
+                            fill=0.0))
+    else:
+        src_slabs = None
 
     n_cell = mean.u.shape[1]
     uv0 = jnp.zeros((E, c_pad, 8), jnp.float32)
@@ -1110,7 +1126,8 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
     S = run.save_every
 
     def chunk(carry, _):
-        dens, r, m, uvT = carry
+        dens, r, m, uvT = carry[:4]
+        act_c = carry[4] if do_cull else None
         outs = _streamkernel_call(
             params, maps, cols, uvT, *statics_fields,
             dens, r, m,
@@ -1120,16 +1137,23 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
             prognostic=bool(cfg.prognostic_mean),
             faithful=bool(cfg.faithful_saturation),
             interpret=interpret, t_rows=tile_rows,
+            src=src_slabs, act_s=act_c,
+            cull=do_cull, relaunch=do_relaunch,
         )
         dens, r, m, uvT, _pp = outs[:5]
-        new_carry = (dens, r, m, uvT)
+        new_carry = (dens, r, m, uvT) + ((outs[5],) if do_cull else ())
         return new_carry, uvT
 
     carry0 = (shape2(rays.dens), shape2(rays.r), shape2(rays.m), uv0)
+    if do_cull:
+        carry0 = carry0 + (
+            shape2(statics.active.astype(jnp.float32), fill=0.0),)
     n_outer = run.n_steps // run.save_every
     carry, huv = jax.lax.scan(chunk, carry0, jnp.arange(n_outer))
 
-    dens_f, r_f, m_f, uvT_f = carry
+    dens_f, r_f, m_f, uvT_f = carry[:4]
+    if do_cull:
+        statics = statics._replace(active=unshape(carry[4]) > 0)
     uv_f = uvT_f.reshape(E, c_pad, 8)
     final = State(
         RayState(
@@ -1145,13 +1169,15 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
 
 
 def simulate_streaming_ensemble(states, statics, bg, cfg, run,
-                                tile_rows: int = TILE_ROWS):
+                                tile_rows: int = TILE_ROWS,
+                                sources=None):
     """Differentiable front for :func:`_simulate_streaming_ensemble_impl`.
 
     **Differentiable in (states, statics)** via a ``custom_vjp`` whose
     backward pass differentiates the numerically equivalent XLA scan path
     vmapped over members (the ``simulate_resident`` pattern,
-    ``step_pallas.py:633-659``); ``bg`` is closed over — the kernel's
+    ``step_pallas.py:633-659``); ``bg`` and the relaunch ``sources``
+    templates are closed over (non-differentiable) — the kernel's
     flux→wind operators are host-built from a concrete background.  The
     backward compiles a vmapped scan, so gradients cost scan-path, not
     kernel, throughput.  See the impl's docstring for the kernel design,
@@ -1161,7 +1187,7 @@ def simulate_streaming_ensemble(states, statics, bg, cfg, run,
     @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
     def diff(s, st, cfg_, run_, t_rows):
         return _simulate_streaming_ensemble_impl(s, st, bg, cfg_, run_,
-                                                 t_rows)
+                                                 t_rows, sources=sources)
 
     def fwd(s, st, cfg_, run_, t_rows):
         return diff(s, st, cfg_, run_, t_rows), (s, st)
@@ -1176,12 +1202,16 @@ def simulate_streaming_ensemble(states, statics, bg, cfg, run,
                                interp_backend="mxu")
 
         def generic(s_, st_):
-            def one(ms, mst):
+            def one(ms, mst, msrc):
                 fin, _, hist = simulate(ms, mst, bg, xla_cfg, run_,
-                                        validate=False)
+                                        source=msrc, validate=False)
                 return fin, hist[0].mean
 
-            fins, means = jax.vmap(one)(s_, st_)
+            if sources is None:
+                fins, means = jax.vmap(
+                    lambda ms, mst: one(ms, mst, None))(s_, st_)
+            else:
+                fins, means = jax.vmap(one)(s_, st_, sources)
             mean_hist = MeanState(jnp.moveaxis(means.u, 0, 1),
                                   jnp.moveaxis(means.v, 0, 1))
             return fins, st_, mean_hist

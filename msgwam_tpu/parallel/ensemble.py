@@ -50,6 +50,7 @@ def ensemble_simulate(
     axis: str = ENSEMBLE_AXIS,
     sequential: bool = False,
     backend: str = "scan",
+    sources=None,
 ):
     """Run a batch of simulations (leading ensemble axis on every leaf of
     ``states``/``statics``), sharded over ``mesh`` if given.
@@ -66,10 +67,12 @@ def ensemble_simulate(
     local members as ONE whole-run streaming-megakernel launch per
     ``save_every`` window (members partitioned over the kernel's tile
     range), ~1.4× the scan path's throughput per device.  Scope: online
-    saturation, f32, no lifecycle (the kernel's guards apply); ``observe``
-    is ignored — the return is that function's
-    ``(final, statics, mean_history)`` contract, with every leaf sharded
-    ``P(axis)`` over ``mesh`` (members must divide the mesh axis).
+    saturation, f32; in-kernel cull/relaunch run per member when
+    ``cfg.cull``/``cfg.relaunch`` (pass ``sources`` as a stacked
+    per-member template pair); ``observe`` is rejected — the return is
+    that function's ``(final, statics, mean_history)`` contract, with
+    every leaf sharded ``P(axis)`` over ``mesh`` (members must divide the
+    mesh axis).
     """
     if backend == "mega":
         from ..ops.step_pallas_stream import simulate_streaming_ensemble
@@ -82,10 +85,14 @@ def ensemble_simulate(
                 "post-process its mean_history or use backend='scan'")
 
         if mesh is None:
-            return simulate_streaming_ensemble(states, statics, bg, cfg, run)
+            return simulate_streaming_ensemble(states, statics, bg, cfg,
+                                               run, sources=sources)
         shard = NamedSharding(mesh, P(axis))
         states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
         statics = jax.tree.map(lambda x: jax.device_put(x, shard), statics)
+        if sources is not None:
+            sources = jax.tree.map(
+                lambda x: jax.device_put(x, shard), sources)
         out_spec = (
             jax.tree.map(lambda _: P(axis), states),
             jax.tree.map(lambda _: P(axis), statics),
@@ -93,18 +100,31 @@ def ensemble_simulate(
         )
         # bg is closed over (replicated): the streaming driver reads the
         # grid geometry host-side at trace time (_grid_params), so it must
-        # stay concrete rather than become a shard_map tracer
+        # stay concrete rather than become a shard_map tracer; per-member
+        # relaunch templates shard P(axis) like the states
+        if sources is None:
+            body = lambda s, st: simulate_streaming_ensemble(
+                s, st, bg, cfg, run)
+            in_specs = (jax.tree.map(lambda _: P(axis), states),
+                        jax.tree.map(lambda _: P(axis), statics))
+            args = (states, statics)
+        else:
+            body = lambda s, st, src: simulate_streaming_ensemble(
+                s, st, bg, cfg, run, sources=src)
+            in_specs = (jax.tree.map(lambda _: P(axis), states),
+                        jax.tree.map(lambda _: P(axis), statics),
+                        jax.tree.map(lambda _: P(axis), sources))
+            args = (states, statics, sources)
         fn = jax.jit(jax.shard_map(
-            lambda s, st: simulate_streaming_ensemble(s, st, bg, cfg, run),
+            body,
             mesh=mesh,
-            in_specs=(jax.tree.map(lambda _: P(axis), states),
-                      jax.tree.map(lambda _: P(axis), statics)),
+            in_specs=in_specs,
             out_specs=out_spec,
             # pallas_call out_shapes carry no varying-across-mesh
             # annotation (same as parallel/sharding.py)
             check_vma=False,
         ))
-        return fn(states, statics)
+        return fn(*args)
     if backend != "scan":
         raise ValueError(f"unknown ensemble backend {backend!r}")
     fn = build_ensemble_fn(
