@@ -790,6 +790,42 @@ def _streamkernel_call(
     return dens_n, r_n, m_n, uv, pp
 
 
+def _check_relaunch_template(src_rays, src_statics, rays, statics):
+    """Best-effort eager guard shared by both streaming drivers: in-kernel
+    relaunch keeps each ray's frozen fields resident for the whole run, so
+    a template that changes them would silently produce wrong physics (and
+    a forward/backward mismatch — the scan-path VJP's relaunch substitutes
+    every template field, models/sources.py:196-217).  Under jit the
+    values are abstract and the check is skipped; launch-site templates
+    (the supported case) always pass."""
+    for fname, a, b in (
+        ("k", src_rays.k, rays.k),
+        ("l", src_rays.l, rays.l),
+        ("dr", src_rays.dr, rays.dr),
+        ("dm", src_rays.dm, rays.dm),
+        ("phi", src_rays.phi, rays.phi),
+        ("dkk", src_statics.dkk, statics.dkk),
+        ("dll", src_statics.dll, statics.dll),
+        ("rr_mm_area", src_statics.rr_mm_area, statics.rr_mm_area),
+    ):
+        if isinstance(a, jax.core.Tracer) or isinstance(b, jax.core.Tracer):
+            continue
+        if not np.array_equal(np.asarray(a, np.float32),
+                              np.asarray(b, np.float32)):
+            raise ValueError(
+                "in-kernel relaunch keeps the per-ray frozen fields "
+                f"resident for the whole run, but the template's {fname!r} "
+                "differs from the running state's; use simulate() for "
+                "templates that change a ray's frozen properties")
+
+
+def _src_slabs(src_rays, src_statics, shape2):
+    """Relaunch template slabs in the kernel's streamed layout (shared by
+    the single-member and ensemble drivers)."""
+    return (shape2(src_rays.dens), shape2(src_rays.r), shape2(src_rays.m),
+            shape2(src_statics.active.astype(jnp.float32), fill=0.0))
+
+
 def _grid_params(bg, cfg, run):
     """SMEM params vector (positionally coupled to ``_G0C.._FHI``) plus
     the grid constants and window width shared by both streaming drivers."""
@@ -867,31 +903,7 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
         raise ValueError("cfg.relaunch requires a source template")
     if do_relaunch:
         src_rays, src_statics = source
-        for fname, a, b in (
-            ("k", src_rays.k, state.rays.k),
-            ("l", src_rays.l, state.rays.l),
-            ("dr", src_rays.dr, state.rays.dr),
-            ("dm", src_rays.dm, state.rays.dm),
-            ("phi", src_rays.phi, state.rays.phi),
-            ("dkk", src_statics.dkk, statics.dkk),
-            ("dll", src_statics.dll, statics.dll),
-            ("rr_mm_area", src_statics.rr_mm_area, statics.rr_mm_area),
-        ):
-            if isinstance(a, jax.core.Tracer) or isinstance(b, jax.core.Tracer):
-                # best-effort eager guard only: under jit the values are
-                # abstract, and the kernel simply keeps the running
-                # state's frozen fields (correct whenever the template
-                # matches, which launch-site relaunch templates do —
-                # models/sources.py:174-217)
-                continue
-            if not np.array_equal(np.asarray(a, np.float32),
-                                  np.asarray(b, np.float32)):
-                raise ValueError(
-                    "in-kernel relaunch keeps the per-ray frozen fields "
-                    f"resident for the whole run, but the template's {fname!r} "
-                    "differs from the running state's; use simulate() for "
-                    "templates that change a ray's frozen properties"
-                )
+        _check_relaunch_template(src_rays, src_statics, state.rays, statics)
     for name, arr in (("state.rays.dens", state.rays.dens),
                       ("state.mean.u", state.mean.u)):
         got = jnp.asarray(arr).dtype
@@ -941,10 +953,7 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
     dt_f = jnp.float32(run.dt)
 
     if do_relaunch:
-        src_slabs = (shape2(src_rays.dens), shape2(src_rays.r),
-                     shape2(src_rays.m),
-                     shape2(src_statics.active.astype(jnp.float32),
-                            fill=0.0))
+        src_slabs = _src_slabs(src_rays, src_statics, shape2)
     else:
         src_slabs = None
 
@@ -1108,10 +1117,8 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
     statics_fields = _frozen_fields(rays, statics, shape2)
     if do_relaunch:
         src_rays, src_statics = sources
-        src_slabs = (shape2(src_rays.dens), shape2(src_rays.r),
-                     shape2(src_rays.m),
-                     shape2(src_statics.active.astype(jnp.float32),
-                            fill=0.0))
+        _check_relaunch_template(src_rays, src_statics, rays, statics)
+        src_slabs = _src_slabs(src_rays, src_statics, shape2)
     else:
         src_slabs = None
 

@@ -13,6 +13,7 @@ chip, which at ~10 floats/ray means ~10^8 rays.
 from __future__ import annotations
 
 import functools
+from collections import OrderedDict
 from typing import Callable, Optional
 
 import jax
@@ -76,69 +77,103 @@ def ensemble_simulate(
     """
     if backend == "mega":
         from ..ops.step_pallas_stream import simulate_streaming_ensemble
-        from ..state import MeanState
 
         if observe is not None:
             raise ValueError(
                 "backend='mega' returns the per-member mean history "
                 "directly and does not support an observe callback; "
                 "post-process its mean_history or use backend='scan'")
+        if sequential:
+            raise ValueError(
+                "backend='mega' batches all local members into one kernel "
+                "launch; sequential=True is a scan-backend option")
 
         if mesh is None:
             return simulate_streaming_ensemble(states, statics, bg, cfg,
                                                run, sources=sources)
+        if cfg.relaunch and sources is not None:
+            # eager template guard, before the values disappear into
+            # shard_map tracers (where the impl's check must skip)
+            from ..ops.step_pallas_stream import _check_relaunch_template
+
+            _check_relaunch_template(sources[0], sources[1],
+                                     states.rays, statics)
+        fn = _mega_sharded_fn(mesh, bg, cfg, run, axis,
+                              sources is not None)
+        shard = NamedSharding(mesh, P(axis))
+        states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
+        statics = jax.tree.map(lambda x: jax.device_put(x, shard), statics)
+        if sources is None:
+            return fn(states, statics)
+        sources = jax.tree.map(lambda x: jax.device_put(x, shard), sources)
+        return fn(states, statics, sources)
+    if backend != "scan":
+        raise ValueError(f"unknown ensemble backend {backend!r}")
+    fn = build_ensemble_fn(
+        cfg, run, mesh=mesh, observe=observe, axis=axis,
+        sequential=sequential, with_source=sources is not None,
+    )
+    if mesh is not None:
         shard = NamedSharding(mesh, P(axis))
         states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
         statics = jax.tree.map(lambda x: jax.device_put(x, shard), statics)
         if sources is not None:
             sources = jax.tree.map(
                 lambda x: jax.device_put(x, shard), sources)
-        out_spec = (
-            jax.tree.map(lambda _: P(axis), states),
-            jax.tree.map(lambda _: P(axis), statics),
-            MeanState(P(None, axis), P(None, axis)),
-        )
-        # bg is closed over (replicated): the streaming driver reads the
-        # grid geometry host-side at trace time (_grid_params), so it must
-        # stay concrete rather than become a shard_map tracer; per-member
-        # relaunch templates shard P(axis) like the states
-        if sources is None:
-            body = lambda s, st: simulate_streaming_ensemble(
-                s, st, bg, cfg, run)
-            in_specs = (jax.tree.map(lambda _: P(axis), states),
-                        jax.tree.map(lambda _: P(axis), statics))
-            args = (states, statics)
-        else:
-            body = lambda s, st, src: simulate_streaming_ensemble(
-                s, st, bg, cfg, run, sources=src)
-            in_specs = (jax.tree.map(lambda _: P(axis), states),
-                        jax.tree.map(lambda _: P(axis), statics),
-                        jax.tree.map(lambda _: P(axis), sources))
-            args = (states, statics, sources)
-        fn = jax.jit(jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=in_specs,
-            out_specs=out_spec,
-            # pallas_call out_shapes carry no varying-across-mesh
-            # annotation (same as parallel/sharding.py)
-            check_vma=False,
-        ))
-        return fn(*args)
-    if backend != "scan":
-        raise ValueError(f"unknown ensemble backend {backend!r}")
-    fn = build_ensemble_fn(
-        cfg, run, mesh=mesh, observe=observe, axis=axis, sequential=sequential
-    )
-    if mesh is not None:
-        shard = NamedSharding(mesh, P(axis))
-        states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
-        statics = jax.tree.map(lambda x: jax.device_put(x, shard), statics)
-    return fn(states, statics, bg)
+    if sources is None:
+        return fn(states, statics, bg)
+    return fn(states, statics, sources, bg)
 
 
 def _default_observe(s, st, aux):
     return s.mean
+
+
+# bounded cache for the mega-backend's jitted shard_map programs: jit is
+# keyed on function identity, so rebuilding the closure per call would
+# recompile the whole-run kernel program every invocation.  bg is closed
+# over (the streaming driver reads grid geometry host-side at trace
+# time), so the cache keys on the identity of its leaves and keeps a
+# strong reference to them (ids stay valid while the entry lives).
+_MEGA_COMPILED = OrderedDict()
+_MEGA_COMPILED_MAX = 8
+
+
+def _mega_sharded_fn(mesh, bg, cfg, run, axis, with_sources):
+    from ..ops.step_pallas_stream import simulate_streaming_ensemble
+    from ..state import MeanState, RayState, State
+
+    key = (mesh, cfg, run, axis, with_sources,
+           tuple(id(l) for l in jax.tree.leaves(bg)))
+    hit = _MEGA_COMPILED.get(key)
+    if hit is not None:
+        _MEGA_COMPILED.move_to_end(key)
+        return hit[1]
+
+    ray_specs = State(RayState(*([P(axis)] * 9)),
+                      MeanState(P(axis), P(axis)))
+    st_specs = RayStatics(*([P(axis)] * 4))
+    out_spec = (ray_specs, st_specs, MeanState(P(None, axis),
+                                               P(None, axis)))
+    if with_sources:
+        body = lambda s, st, src: simulate_streaming_ensemble(
+            s, st, bg, cfg, run, sources=src)
+        in_specs = (ray_specs, st_specs,
+                    (RayState(*([P(axis)] * 9)), st_specs))
+    else:
+        body = lambda s, st: simulate_streaming_ensemble(
+            s, st, bg, cfg, run)
+        in_specs = (ray_specs, st_specs)
+    fn = jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
+        # pallas_call out_shapes carry no varying-across-mesh annotation
+        # (same as parallel/sharding.py)
+        check_vma=False,
+    ))
+    if len(_MEGA_COMPILED) >= _MEGA_COMPILED_MAX:
+        _MEGA_COMPILED.popitem(last=False)
+    _MEGA_COMPILED[key] = (bg, fn)
+    return fn
 
 
 @functools.lru_cache(maxsize=64)
@@ -149,24 +184,38 @@ def build_ensemble_fn(
     observe: Optional[Callable] = None,
     axis: str = ENSEMBLE_AXIS,
     sequential: bool = False,
+    with_source: bool = False,
 ) -> Callable:
     """Build (and cache) the jitted ensemble runner
-    ``f(states, statics, bg) -> (final, statics, history)``.
+    ``f(states, statics[, sources], bg) -> (final, statics, history)``.
 
-    Cached on (cfg, run, mesh, observe, axis, sequential), so repeated
-    calls — and :func:`ensemble_simulate` — reuse the compiled program.
-    ``observe`` must be hashable (a top-level function) to hit the cache.
+    Cached on (cfg, run, mesh, observe, axis, sequential, with_source), so
+    repeated calls — and :func:`ensemble_simulate` — reuse the compiled
+    program.  ``observe`` must be hashable (a top-level function) to hit
+    the cache.  ``with_source=True`` adds a stacked per-member relaunch
+    template argument, mapped member-wise into ``simulate(source=...)``.
     """
     obs = observe or _default_observe
-    member = lambda s, st, bg: simulate(s, st, bg, cfg, run, observe=obs)
+    if with_source:
+        member = lambda s, st, src, bg: simulate(
+            s, st, bg, cfg, run, observe=obs, source=src)
+        in_axes = (0, 0, 0, None)
+    else:
+        member = lambda s, st, bg: simulate(s, st, bg, cfg, run, observe=obs)
+        in_axes = (0, 0, None)
 
     if sequential:
-        f = lambda ss, stst, bg: jax.lax.map(
-            lambda x: member(*x, bg), (ss, stst)
-        )
+        if with_source:
+            f = lambda ss, stst, srcs, bg: jax.lax.map(
+                lambda x: member(*x, bg), (ss, stst, srcs)
+            )
+        else:
+            f = lambda ss, stst, bg: jax.lax.map(
+                lambda x: member(*x, bg), (ss, stst)
+            )
         return jax.jit(f)
 
-    f = jax.vmap(member, in_axes=(0, 0, None))
+    f = jax.vmap(member, in_axes=in_axes)
     if mesh is None:
         return jax.jit(f)
 
@@ -177,13 +226,13 @@ def build_ensemble_fn(
     # shape (memoized; bounded LRU so parameter sweeps over many shapes
     # don't accumulate compiled programs) — and the eval_shape runs on plain
     # ShapeDtypeStructs so sharded avals never reach the vmap trace.
-    from collections import OrderedDict
-
     compiled = OrderedDict()
     max_cached_shapes = 8
 
-    def runner(states, statics, bg):
-        leaves = jax.tree.leaves((states, statics, bg))
+    def runner(*args):
+        # args = (states, statics[, sources], bg): everything but the
+        # trailing background shards P(axis)
+        leaves = jax.tree.leaves(args)
         key = tuple((l.shape, str(l.dtype)) for l in leaves)
         if key in compiled:
             compiled.move_to_end(key)
@@ -191,18 +240,17 @@ def build_ensemble_fn(
             if len(compiled) >= max_cached_shapes:
                 compiled.popitem(last=False)
             shapes = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                (states, statics, bg),
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), args
             )
             out_shape = jax.eval_shape(f, *shapes)
             out_spec = jax.tree.map(lambda _: P(axis), out_shape)
-            spec = jax.tree.map(lambda _: P(axis), states)
-            spec_st = jax.tree.map(lambda _: P(axis), statics)
-            bg_spec = jax.tree.map(lambda _: P(), bg)
+            in_specs = tuple(
+                jax.tree.map(lambda _: P(axis), a) for a in args[:-1]
+            ) + (jax.tree.map(lambda _: P(), args[-1]),)
             compiled[key] = jax.jit(jax.shard_map(
                 f, mesh=mesh,
-                in_specs=(spec, spec_st, bg_spec), out_specs=out_spec,
+                in_specs=in_specs, out_specs=out_spec,
             ))
-        return compiled[key](states, statics, bg)
+        return compiled[key](*args)
 
     return runner

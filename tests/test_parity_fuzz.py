@@ -56,7 +56,20 @@ PROFILE_ENG = {"gauss": mt.velocities_gauss_homogeneous,
 
 
 def _reference_drive(lprop, c):
-    """The reference driver (raytracer.py:32-191) at configuration ``c``."""
+    """The reference driver (raytracer.py:32-191) at configuration ``c``.
+
+    Restores ``HPROP_GLOBAL`` even when the drive raises, so one failing
+    case cannot leak horizontal propagation into every later test that
+    shares the session-scoped ``reference_libprop`` fixture (the other
+    globals — grid, model_config, statics — are re-set by every consumer).
+    """
+    try:
+        return _reference_drive_inner(lprop, c)
+    finally:
+        lprop.HPROP_GLOBAL = False
+
+
+def _reference_drive_inner(lprop, c):
     lprop.HPROP_GLOBAL = bool(c["hprop"])
     lprop.set_model_setup(
         bvf=c["bvf"], rhs=lprop.rhs_default, boussinesq=c["boussinesq"],
@@ -105,7 +118,6 @@ def _reference_drive(lprop, c):
                 direct=True,
             )
         cur = new
-    lprop.HPROP_GLOBAL = False
     return cur, grids, uu, vv
 
 

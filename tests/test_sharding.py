@@ -136,9 +136,12 @@ def test_ensemble_sequential_matches_vmap():
 
 
 def test_sharded_with_cull_and_relaunch():
-    """Sharded run with culling + relaunch source matches single-device."""
+    """Sharded run with culling + relaunch source matches single-device.
+    m_max is set so critical-level culls genuinely fire within the run
+    (2*pi/2000 never triggered: |m| starts at 2*pi/5000 and does not grow
+    2.5x in 40 steps under this jet)."""
     cfg = mt.REFERENCE_RUN_CONFIG.replace(
-        cull=True, relaunch=True, m_max=2 * np.pi / 2000.0,
+        cull=True, relaunch=True, m_max=2 * np.pi / 3500.0,
     )
     gc = mt.GridConfig()
     centers = gc.centers()
@@ -151,6 +154,12 @@ def test_sharded_with_cull_and_relaunch():
     ref, refst, _ = jax.jit(
         lambda s, st: mt.simulate(s, st, bg, cfg, run, source=source)
     )(state, statics)
+    # culls must actually fire for this test to exercise the lifecycle
+    _, st_cull, _ = jax.jit(
+        lambda s, st: mt.simulate(s, st, bg,
+                                  cfg.replace(relaunch=False), run)
+    )(state, statics)
+    assert (~np.asarray(st_cull.active)).any()
     mesh = make_mesh(8)
     sf, stf, _ = sharded_simulate(mesh, state, statics, bg, cfg, run,
                                   source=source)
@@ -201,3 +210,56 @@ def test_ensemble_mega_backend_sharded_matches_members():
                      (f1.mean.u, fin.mean.u[e])):
             a = np.asarray(a)
             assert np.abs(a - b).max() <= 1e-5 * max(np.abs(a).max(), 1e-30)
+
+
+def test_ensemble_scan_backend_sources_relaunch():
+    """backend="scan" with stacked per-member relaunch templates: every
+    member must match its own simulate(source=...) run (previously the
+    sources argument was mega-only and would have been silently dropped
+    on the scan path)."""
+    cfg = mt.REFERENCE_RUN_CONFIG.replace(
+        cull=True, relaunch=True, m_max=2 * np.pi / 3500.0,
+    )
+    gc = mt.GridConfig()
+    centers = gc.centers()
+    uu = 40.0 * np.tanh((centers - 30e3) / 1e4)
+    bg = mt.make_background(gc, cfg, uu, np.zeros_like(uu))
+    E = 2
+    members, sources = [], []
+    for e in range(E):
+        src = mt.gaussian_spectrum_source(cfg, bg, 64,
+                                          amplitude_alpha=0.01 * (1 + e))
+        rays, statics = src
+        members.append((mt.State(rays, mt.MeanState(jnp.asarray(uu),
+                                                    jnp.zeros(100))),
+                        statics))
+        sources.append(src)
+    bstates, bstatics = stack_ensemble(members)
+    bsources = (jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[s[0] for s in sources]),
+                jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[s[1] for s in sources]))
+    run = mt.RunConfig(dt=120.0, n_steps=40, save_every=40)
+    mesh = jax.make_mesh((2,), ("ensemble",), devices=jax.devices()[:2])
+
+    # culls must actually fire (else the lifecycle path is dead code here)
+    _, st_cull, _ = jax.jit(
+        lambda s, st: mt.simulate(s, st, bg,
+                                  cfg.replace(relaunch=False), run)
+    )(*members[0])
+    assert (~np.asarray(st_cull.active)).any()
+
+    for m in (None, mesh):
+        fin, stf, _ = ensemble_simulate(bstates, bstatics, bg, cfg, run,
+                                        mesh=m, sources=bsources)
+        fin = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), fin)
+        stf = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), stf)
+        for e in range(E):
+            s1, st1 = members[e]
+            r1, rst1, _ = jax.jit(
+                lambda s, st: mt.simulate(s, st, bg, cfg, run,
+                                          source=sources[e]))(s1, st1)
+            np.testing.assert_allclose(
+                fin.mean.u[e], np.asarray(r1.mean.u), rtol=1e-12, atol=1e-15)
+            np.testing.assert_array_equal(
+                stf.active[e], np.asarray(rst1.active))

@@ -44,7 +44,6 @@ import msgwam_tpu as mt  # noqa: E402
 from msgwam_tpu.diagnostics import window_fallback_stats  # noqa: E402
 from msgwam_tpu.ops.step_pallas import simulate_resident  # noqa: E402
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import _setup, DT  # noqa: E402
 
 N_RAY = 100_000
