@@ -98,6 +98,32 @@ def main():
              ray_steps_per_s=round(N_RAY * 8000 / best, 1),
              fallback_rate_end=round(float(st.fallback_rate), 4))
 
+    # 3. the same two questions at the 1e6 north-star point (streaming
+    # kernel; shorter horizons — 1e6 decoheres ~10x slower per tile)
+    cfg6, bg6, state6, statics6 = _setup(1_000_000, "mega", "native")
+    wcfg6 = cfg6.replace(rhs_backend="pallas",
+                         window_cells=mt.ModelConfig().window_cells)
+    totals6 = {}
+    for n in (1000, 3000):
+        best, out = timed_launch(cfg6, bg6, state6, statics6, n)
+        totals6[n] = best
+        st = window_fallback_stats(DT, out[0], out[1], bg6, wcfg6)
+        emit(kind="horizon1e6", n_steps=n, total_s=round(best, 4),
+             us_per_step=round(best / n * 1e6, 2),
+             ray_steps_per_s=round(1_000_000 * n / best, 1),
+             fallback_rate_end=round(float(st.fallback_rate), 4))
+    emit(kind="marginal1e6", steps="1000-3000",
+         us_per_step=round((totals6[3000] - totals6[1000]) / 2000 * 1e6, 2))
+    for w in (24, 32):
+        cw = cfg6.replace(window_cells=w)
+        best, out = timed_launch(cw, bg6, state6, statics6, 3000)
+        st = window_fallback_stats(
+            DT, out[0], out[1], bg6, wcfg6.replace(window_cells=w))
+        emit(kind="wsweep1e6", W=w, n_steps=3000,
+             us_per_step=round(best / 3000 * 1e6, 2),
+             ray_steps_per_s=round(1_000_000 * 3000 / best, 1),
+             fallback_rate_end=round(float(st.fallback_rate), 4))
+
 
 if __name__ == "__main__":
     main()
