@@ -51,7 +51,7 @@ DT = 120.0
 BASELINE_RAY_STEPS_PER_SEC = 3.0e4
 
 
-def _setup(n_ray: int, backend: str, accum: str):
+def _setup(n_ray: int, backend: str, accum: str, w2: int = 0):
     cfg = mt.REFERENCE_RUN_CONFIG.replace(
         saturate_online=True,
         dtype="float32",
@@ -64,6 +64,7 @@ def _setup(n_ray: int, backend: str, accum: str):
         window_cells=(mt.ModelConfig().window_cells
                       if backend == "pallasw" else 0),
         flux_accum=accum if backend == "mxu" else "native",
+        window_cells2=w2,
     )
     gc = mt.GridConfig()
     centers = gc.centers()
@@ -84,12 +85,13 @@ def _setup(n_ray: int, backend: str, accum: str):
 
 def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
             backend: str = "mega", accum: str = "native",
-            sharded: bool = False, fallback: bool = False) -> dict:
+            sharded: bool = False, fallback: bool = False,
+            w2: int = 0) -> dict:
     if backend == "mega" and sharded:
         # the megakernel family is single-chip; the sharded path runs the
         # adaptive-window fused-RHS kernel per shard
         backend = "pallasw"
-    cfg, bg, state, statics = _setup(n_ray, backend, accum)
+    cfg, bg, state, statics = _setup(n_ray, backend, accum, w2)
     run = mt.RunConfig(dt=DT, n_steps=n_steps, save_every=n_steps)
 
     if sharded:
@@ -128,7 +130,7 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
 
     ray_steps_per_sec = n_ray * n_steps / best
     label = backend + ("+" + accum if accum != "native" else "") \
-        + ("+sharded" if sharded else "")
+        + ("+sharded" if sharded else "") + (f"+w2={w2}" if w2 else "")
     result = {
         "metric": f"ray-volume steps/sec/chip at {n_ray:.0e} rays "
                   f"(coupled, online saturation, f32, {label})",
@@ -193,6 +195,8 @@ if __name__ == "__main__":
     ap.add_argument("--sharded", action="store_true")
     ap.add_argument("--n-ray", type=int, default=N_RAY)
     ap.add_argument("--steps", type=int, default=N_STEPS)
+    ap.add_argument("--w2", type=int, default=0,
+                    help="second window tier (window_cells2; 0 = off)")
     ap.add_argument("--all", action="store_true",
                     help="run the backend matrix (one JSON line per entry)")
     ap.add_argument("--matrix", action="store_true",
@@ -216,11 +220,12 @@ if __name__ == "__main__":
                                ("xla", "native")]:
             print(json.dumps(run_one(args.n_ray, args.steps, backend, accum)))
     elif (args.backend == "mega" and args.accum == "native"
-          and not args.sharded and not args.fallback
+          and not args.sharded and not args.fallback and not args.w2
           and args.n_ray == N_RAY and args.steps == N_STEPS):
         # bare `python bench.py` (the driver invocation): metric of record
         # plus the embedded 1e6 north-star measurement
         main(args.n_ray, args.steps)
     else:
         print(json.dumps(run_one(args.n_ray, args.steps, args.backend,
-                                 args.accum, args.sharded, args.fallback)))
+                                 args.accum, args.sharded, args.fallback,
+                                 w2=args.w2)))

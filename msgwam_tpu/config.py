@@ -117,6 +117,18 @@ class ModelConfig:
     # benchmarks/RESULTS.md); see ops/rhs_pallas_windowed.py.
     window_cells: int = 16
 
+    # Second window tier for the megakernel family (ops/step_pallas*.py):
+    # a block whose span outgrows ``window_cells`` tries this wider window
+    # before falling back to the exact full-width path.  Motivated by the
+    # measured span distribution (tools/span_study.py): after ~1000 steps
+    # the per-block spans are BIMODAL — coherent blocks stay under ~16-24
+    # cells while the dispersive small-|m| tail blocks mix to 80-100 cells
+    # (per-ray extents stay at ~0.5 cells; it is pure positional mixing) —
+    # so a wide second tier recovers most of the 8x full-width penalty on
+    # exactly those blocks.  Rounded up to a multiple of 8; 0 disables the
+    # tier.  Results are exact on every path.
+    window_cells2: int = 0
+
     # Prognostic mean flow (wave–mean-flow coupling on).  False freezes the
     # wind tendencies — a truly *fixed* background (BASELINE config 1), or,
     # combined with a prescribed wind function in ``simulate``, a transient

@@ -80,7 +80,7 @@ def _kernel(
     ff2_s, kh2_s, pv_s, comp_m,
     *, n_rows: int, n_tab: int, n_flux_cells: int, c_pad: int,
     tile_rows: int, online: bool, prognostic: bool, faithful: bool,
-    w_cells: int = WIN,
+    w_cells: int = WIN, w2_cells: int = 0,
 ):
     step = pl.program_id(0)
     st = pl.program_id(1)            # 0-2: RK3 stages; 3 (offline): saturation
@@ -95,6 +95,7 @@ def _kernel(
     kappa = params_ref[_KAPPA]
     f0 = params_ref[_F0]
     W = w_cells
+    W2 = w2_cells                  # second window tier; 0 = disabled
     T = tile_rows
 
     @pl.when((step == 0) & (st == 0) & (tl == 0))
@@ -132,6 +133,9 @@ def _kernel(
     col_full_f = col_full.astype(jnp.float32)
     col_win_i = jax.lax.broadcasted_iota(jnp.int32, (W, LANE), 0)
     col_win = col_win_i.astype(jnp.float32)
+    if W2:
+        col_win2_i = jax.lax.broadcasted_iota(jnp.int32, (W2, LANE), 0)
+        col_win2 = col_win2_i.astype(jnp.float32)
 
     # --- tile work ---------------------------------------------------------
     base = tl * T
@@ -191,30 +195,44 @@ def _kernel(
                            nup.astype(jnp.float32))
         lo_t = jnp.where(amask, lo_t, 1e9)
         hi_t = jnp.where(amask, hi_t, -1e9)
-        win = jnp.clip((jnp.min(lo_t).astype(jnp.int32) // 8) * 8, 0, c_pad - W)
+        lo_min8 = (jnp.min(lo_t).astype(jnp.int32) // 8) * 8
+        hi_max = jnp.max(hi_t)
+        win = jnp.clip(lo_min8, 0, c_pad - W)
         winf = win.astype(jnp.float32)
-        ok = jnp.max(hi_t) - winf <= W
-
-        def hat_win(q):
-            return jnp.maximum(0.0, 1.0 - jnp.abs(q - winf - col_win))
+        ok = hi_max - winf <= W
+        if W2:
+            # second tier before the exact full-width fallback: per-block
+            # spans are bimodal (tools/span_study.py) — the dispersive
+            # fast-tail blocks mix to 80-100 cells while coherent blocks
+            # stay under ~16-24 — so one wide retry recovers most of the
+            # 8x full-width penalty
+            win2 = jnp.clip(lo_min8, 0, c_pad - W2)
+            fits2 = hi_max - win2.astype(jnp.float32) <= W2
+            ok2 = (~ok) & fits2
+            full_cond = (~ok) & (~fits2)
+        else:
+            full_cond = ~ok
 
         def hat_full(q):
             return jnp.maximum(0.0, 1.0 - jnp.abs(q - col_full_f))
 
-        @pl.when(ok)
-        def _windowed():
-            tabw = tabs_m[pl.ds(win, W), :]                     # (W, 8)
+        def _windowed_tier(Wv, winv, col_i, col_f):
+            winfv = winv.astype(jnp.float32)
+            tabw = tabs_m[pl.ds(winv, Wv), :]                   # (Wv, 8)
             tab_du = tabw[:, 0:1]
             tab_dv = tabw[:, 1:2]
             tab_rho = tabw[:, 2:3]
-            gflo = g0c + (winf + col_win) * dz
+            gflo = g0c + (winfv + col_f) * dz
             gfhi = gflo + dz
-            colw = col_win_i + win
+            colw = col_i + winv
+
+            def hat_win(q):
+                return jnp.maximum(0.0, 1.0 - jnp.abs(q - winfv - col_f))
 
             du_rows = []
             dv_rows = []
             rho_rows = []
-            tile_acc = jnp.zeros((W, 8), jnp.float32)
+            tile_acc = jnp.zeros((Wv, 8), jnp.float32)
             for j in range(T):
                 # hat coordinates hoisted: qf_t/qr_t already hold the
                 # clipped, dz-normalized heights for the whole tile
@@ -233,22 +251,31 @@ def _kernel(
                     in_span,
                     jnp.abs(jnp.minimum(gfhi, ru) - jnp.maximum(gflo, rl)),
                     0.0,
-                )                                               # (W, LANE)
+                )                                               # (Wv, LANE)
                 fv8 = jnp.concatenate(
                     [fvk[j, :][None, :], fvl[j, :][None, :],
                      jnp.zeros((6, LANE), jnp.float32)], axis=0)
                 tile_acc = tile_acc + jax.lax.dot_general(
                     wmat, fv8, dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )                                               # (W, 8)
+                )                                               # (Wv, 8)
 
             du_s[slab, :] = jnp.stack(du_rows)
             dv_s[slab, :] = jnp.stack(dv_rows)
             if online:
                 rho_s[slab, :] = jnp.stack(rho_rows)
-            kahan_acc(tile_acc, pl.ds(win, W))
+            kahan_acc(tile_acc, pl.ds(winv, Wv))
 
-        @pl.when(~ok)
+        @pl.when(ok)
+        def _windowed():
+            _windowed_tier(W, win, col_win_i, col_win)
+
+        if W2:
+            @pl.when(ok2)
+            def _windowed2():
+                _windowed_tier(W2, win2, col_win2_i, col_win2)
+
+        @pl.when(full_cond)
         def _full():
             # exact fallback: full-width bases/weights (row form of the stage
             # tables via one small transposing contraction)
@@ -484,7 +511,7 @@ def _kernel(
     jax.jit,
     static_argnames=("n_steps", "n_tab", "n_flux_cells",
                      "online", "prognostic", "faithful", "interpret",
-                     "w_cells"),
+                     "w_cells", "w2_cells"),
 )
 def _megakernel_call(
     params, maps, cols,
@@ -492,7 +519,7 @@ def _megakernel_call(
     k, l, dr, dm, phi, dkk, dll, area, act,
     n_steps: int, n_tab: int, n_flux_cells: int,
     online: bool, prognostic: bool, faithful: bool, interpret: bool,
-    w_cells: int = WIN,
+    w_cells: int = WIN, w2_cells: int = 0,
 ):
     n_rows = r.shape[0]
     tile_rows = TILE_ROWS if n_rows % TILE_ROWS == 0 else 8
@@ -503,6 +530,7 @@ def _megakernel_call(
         c_pad=c_pad, tile_rows=tile_rows, online=online,
         prognostic=prognostic, faithful=faithful,
         w_cells=min(w_cells, c_pad),
+        w2_cells=w2_cells if w2_cells < c_pad else 0,
     )
     whole = pl.BlockSpec((n_rows, LANE), lambda i, s, t: (0, 0))
     col8 = pl.BlockSpec((c_pad, 8), lambda i, s, t: (0, 0))
@@ -775,6 +803,10 @@ def _simulate_resident_impl(state, statics, bg, cfg, run,
     unshape = lambda x: x.reshape(-1)[:n]
     w_cells = (min(_ceil_to(max(cfg.window_cells, WIN), 8), 128)
                if cfg.window_cells > 0 else WIN)
+    w2_cells = (min(_ceil_to(cfg.window_cells2, 8), 120)
+                if cfg.window_cells2 > 0 else 0)
+    if w2_cells <= w_cells:
+        w2_cells = 0                   # tier must be strictly wider
 
     def chunk(carry, _):
         dens, r, m, uvT = carry
@@ -784,7 +816,7 @@ def _simulate_resident_impl(state, statics, bg, cfg, run,
             online=bool(cfg.saturate_online),
             prognostic=bool(cfg.prognostic_mean),
             faithful=bool(cfg.faithful_saturation),
-            interpret=interpret, w_cells=w_cells,
+            interpret=interpret, w_cells=w_cells, w2_cells=w2_cells,
         )
         return (dens, r, m, uvT), (dens, r, m, uvT, dens_prop)
 

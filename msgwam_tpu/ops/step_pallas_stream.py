@@ -88,7 +88,7 @@ def _kernel(
     n_tab: int, n_flux_cells: int, c_pad: int, w_cells: int,
     online: bool, prognostic: bool, faithful: bool, t_rows: int,
     cull: bool = False, relaunch: bool = False, prescribed: bool = False,
-    n_members: int = 1, ablate: str = "",
+    n_members: int = 1, ablate: str = "", w2_cells: int = 0,
 ):
     # optional lifecycle inputs (in signature order): the per-step wind
     # table, the relaunch template, then the aliased dens/r/m(/act)
@@ -135,6 +135,7 @@ def _kernel(
     kappa = params_ref[_KAPPA]
     f0 = params_ref[_F0]
     W = w_cells
+    W2 = w2_cells                  # 0 = tier disabled
     T = t_rows
 
     first_body = (step == 0) & (st == 0) & (tl == 0)
@@ -264,6 +265,9 @@ def _kernel(
     col_full_f = col_full.astype(jnp.float32)
     col_win_i = jax.lax.broadcasted_iota(jnp.int32, (W, LANE), 0)
     col_win = col_win_i.astype(jnp.float32)
+    if W2:
+        col_win2_i = jax.lax.broadcasted_iota(jnp.int32, (W2, LANE), 0)
+        col_win2 = col_win2_i.astype(jnp.float32)
 
     def dot(a, b, dims):
         return jax.lax.dot_general(
@@ -354,10 +358,22 @@ def _kernel(
             nup.astype(jnp.float32))
         lo_t = jnp.where(amask, lo_t, 1e9)
         hi_t = jnp.where(amask, hi_t, -1e9)
-        win = jnp.clip((jnp.min(lo_t).astype(jnp.int32) // 8) * 8,
-                       0, c_pad - W)
+        lo_min8 = (jnp.min(lo_t).astype(jnp.int32) // 8) * 8
+        hi_max = jnp.max(hi_t)
+        win = jnp.clip(lo_min8, 0, c_pad - W)
         winf = win.astype(jnp.float32)
-        ok = jnp.max(hi_t) - winf <= W
+        ok = hi_max - winf <= W
+        if W2:
+            # second tier: the span distribution is bimodal (coherent
+            # blocks vs the dispersive fast tail at 80-100 cells —
+            # tools/span_study.py), so one wide retry recovers most of
+            # the full-width penalty before the exact fallback
+            win2 = jnp.clip(lo_min8, 0, c_pad - W2)
+            fits2 = hi_max - win2.astype(jnp.float32) <= W2
+            ok2 = (~ok) & fits2
+            full_cond = (~ok) & (~fits2)
+        else:
+            full_cond = ~ok
 
         def finish(du_rows, dv_rows, rho_rows):
             du_t = jnp.stack(du_rows)
@@ -422,24 +438,24 @@ def _kernel(
                     act_f = new_act
                 act_sb[:] = act_f.astype(jnp.float32)
 
-        @pl.when(ok)
-        def _windowed():
-            tabw = tabs_m[pl.ds(win, W), :]                 # (W, 8)
+        def _windowed_tier(Wv, winv, col_i, col_f):
+            winfv = winv.astype(jnp.float32)
+            tabw = tabs_m[pl.ds(winv, Wv), :]               # (Wv, 8)
             tab_duv = tabw[:, 0:2]
             tab_rho = tabw[:, 2:3]
-            gflo = g0c + (winf + col_win) * dz
+            gflo = g0c + (winfv + col_f) * dz
             gfhi = gflo + dz
-            colw = col_win_i + win
+            colw = col_i + winv
             # per-row hat-basis coordinates, hoisted out of the loop: the
             # window-bound scan above already computed qf_t/qr_t, and the
-            # windowed basis only shifts them by winf (same f32 association
-            # as the original in-loop expression)
-            qf_w = qf_t - winf
+            # windowed basis only shifts them by winfv (same f32
+            # association as the original in-loop expression)
+            qf_w = qf_t - winfv
             if online:
-                qr_w = qr_t - winf
+                qr_w = qr_t - winfv
 
             du_rows, dv_rows, rho_rows = [], [], []
-            acc2 = jnp.zeros((W, 2), jnp.float32)
+            acc2 = jnp.zeros((Wv, 2), jnp.float32)
             zrow = jnp.zeros((LANE,), jnp.float32)
             for j in range(T):
                 if ablate == "noloop":
@@ -449,7 +465,7 @@ def _kernel(
                         rho_rows.append(zrow)
                     continue
                 Bf = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(qf_w[j, :][None, :] - col_win))
+                    0.0, 1.0 - jnp.abs(qf_w[j, :][None, :] - col_f))
                 # one small MXU contraction replaces two VPU mul +
                 # cross-sublane reductions
                 duv = dot(tab_duv, Bf, ((0,), (0,)))        # (2, LANE)
@@ -457,7 +473,7 @@ def _kernel(
                 dv_rows.append(duv[1, :])
                 if online:
                     Br = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(qr_w[j, :][None, :] - col_win))
+                        0.0, 1.0 - jnp.abs(qr_w[j, :][None, :] - col_f))
                     rho_rows.append(dot(tab_rho, Br, ((0,), (0,)))[0, :])
 
                 if ablate == "nodeposit":
@@ -469,19 +485,28 @@ def _kernel(
                     jnp.abs(jnp.minimum(gfhi, r_up[j, :][None, :])
                             - jnp.maximum(gflo, r_lo[j, :][None, :])),
                     0.0,
-                )                                           # (W, LANE)
+                )                                           # (Wv, LANE)
                 fv2 = jnp.concatenate(
                     [fvk[j, :][None, :], fvl[j, :][None, :]], axis=0)
                 acc2 = acc2 + dot(wmat, fv2, ((1,), (1,)))
 
             tile_acc = jnp.concatenate(
-                [acc2, jnp.zeros((W, 6), jnp.float32)], axis=1)
+                [acc2, jnp.zeros((Wv, 6), jnp.float32)], axis=1)
             dens_st, drr_st, dmm_st = finish(du_rows, dv_rows, rho_rows)
             _post_stage(dens_st, drr_st, dmm_st)
             if not ablate:
-                kahan_acc(tile_acc, pl.ds(win, W))
+                kahan_acc(tile_acc, pl.ds(winv, Wv))
 
-        @pl.when(~ok)
+        @pl.when(ok)
+        def _windowed():
+            _windowed_tier(W, win, col_win_i, col_win)
+
+        if W2:
+            @pl.when(ok2)
+            def _windowed2():
+                _windowed_tier(W2, win2, col_win2_i, col_win2)
+
+        @pl.when(full_cond)
         def _full():
             tab_rows = dot(
                 jnp.concatenate([jnp.eye(3, dtype=jnp.float32),
@@ -682,7 +707,7 @@ def _kernel(
     jax.jit,
     static_argnames=("n_steps", "n_tab", "n_flux_cells", "w_cells",
                      "online", "prognostic", "faithful", "interpret",
-                     "t_rows", "cull", "relaunch", "ablate"),
+                     "t_rows", "cull", "relaunch", "ablate", "w2_cells"),
 )
 def _streamkernel_call(
     params, maps, cols, uvT,
@@ -693,7 +718,7 @@ def _streamkernel_call(
     t_rows: int = TILE_ROWS,
     wind=None, src=None, act_s=None,
     cull: bool = False, relaunch: bool = False,
-    ablate: str = "",
+    ablate: str = "", w2_cells: int = 0,
 ):
     n_rows = r.shape[0]
     n_tiles = n_rows // t_rows
@@ -708,7 +733,7 @@ def _streamkernel_call(
         w_cells=w_cells, online=online, prognostic=prognostic,
         faithful=faithful, t_rows=t_rows,
         cull=cull, relaunch=relaunch, prescribed=prescribed,
-        n_members=n_members, ablate=ablate,
+        n_members=n_members, ablate=ablate, w2_cells=w2_cells,
     )
     n_st = 3 if online else 4
     n_arr = (6 if online else 8) + (1 if cull else 0)
@@ -846,7 +871,11 @@ def _grid_params(bg, cfg, run):
     ], dtype=np.float32))
     w_cells = min(_ceil_to(max(cfg.window_cells, WIN), 8), c_pad) \
         if cfg.window_cells > 0 else WIN
-    return params, n_tab, n_flux_cells, c_pad, w_cells
+    w2_cells = min(_ceil_to(cfg.window_cells2, 8), c_pad - 8) \
+        if cfg.window_cells2 > 0 else 0
+    if w2_cells <= w_cells:
+        w2_cells = 0                   # tier must be strictly wider
+    return params, n_tab, n_flux_cells, c_pad, w_cells, w2_cells
 
 
 def _frozen_fields(rays, statics, shape2):
@@ -918,7 +947,8 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
 
     rays, mean = state.rays, state.mean
     n = rays.r.shape[0]
-    params, n_tab, n_flux_cells, c_pad, w_cells = _grid_params(bg, cfg, run)
+    params, n_tab, n_flux_cells, c_pad, w_cells, w2_cells = \
+        _grid_params(bg, cfg, run)
     maps, cols = build_operators(bg, cfg, n_tab, c_pad)
 
     pad_unit = tile_rows * LANE
@@ -983,7 +1013,7 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
             interpret=interpret, t_rows=tile_rows,
             wind=wt, src=src_slabs, act_s=act_c,
             cull=do_cull, relaunch=do_relaunch,
-            ablate=_ablate,
+            ablate=_ablate, w2_cells=w2_cells,
         )
         dens, r, m, uvT, pp = outs[:5]
         new_carry = (dens, r, m, uvT) + ((outs[5],) if do_cull else ())
@@ -1097,7 +1127,8 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
                 f"{name} has dtype {jnp.asarray(arr).dtype}")
 
     E, n = rays.r.shape
-    params, n_tab, n_flux_cells, c_pad, w_cells = _grid_params(bg, cfg, run)
+    params, n_tab, n_flux_cells, c_pad, w_cells, w2_cells = \
+        _grid_params(bg, cfg, run)
     maps, cols = build_operators(bg, cfg, n_tab, c_pad)
 
     pad_unit = tile_rows * LANE
@@ -1146,6 +1177,7 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
             interpret=interpret, t_rows=tile_rows,
             src=src_slabs, act_s=act_c,
             cull=do_cull, relaunch=do_relaunch,
+            w2_cells=w2_cells,
         )
         dens, r, m, uvT, _pp = outs[:5]
         new_carry = (dens, r, m, uvT) + ((outs[5],) if do_cull else ())
