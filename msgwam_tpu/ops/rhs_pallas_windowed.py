@@ -54,6 +54,7 @@ def _kernel(
     pv_ref, ff2_ref, kh2_ref, pvb_ref, act_ref,
     *rest,
     n_tab: int, n_flux_cells: int, c_pad: int, w_cells: int,
+    w2_cells: int,
     saturate_online: bool, faithful: bool, staged: bool = False,
 ):
     if staged:
@@ -129,14 +130,29 @@ def _kernel(
                        nup.astype(jnp.float32))
     lo_t = jnp.where(amask, lo_t, 1e9)
     hi_t = jnp.where(amask, hi_t, -1e9)
-    win = jnp.clip((jnp.min(lo_t).astype(jnp.int32) // 8) * 8, 0, c_pad - W)
+    lo_min8 = (jnp.min(lo_t).astype(jnp.int32) // 8) * 8
+    hi_max = jnp.max(hi_t)
+    win = jnp.clip(lo_min8, 0, c_pad - W)
     winf = win.astype(jnp.float32)
-    ok = jnp.max(hi_t) - winf <= W
+    ok = hi_max - winf <= W
+    W2 = w2_cells
+    if W2:
+        # second tier before the exact full-width fallback (the span
+        # distribution is bimodal — tools/span_study.py)
+        win2 = jnp.clip(lo_min8, 0, c_pad - W2)
+        fits2 = hi_max - win2.astype(jnp.float32) <= W2
+        ok2 = (~ok) & fits2
+        full_cond = (~ok) & (~fits2)
+    else:
+        full_cond = ~ok
 
     col_full = jax.lax.broadcasted_iota(jnp.int32, (c_pad, LANE), 0)
     col_full_f = col_full.astype(jnp.float32)
     col_win_i = jax.lax.broadcasted_iota(jnp.int32, (W, LANE), 0)
     col_win = col_win_i.astype(jnp.float32)
+    if W2:
+        col_win2_i = jax.lax.broadcasted_iota(jnp.int32, (W2, LANE), 0)
+        col_win2 = col_win2_i.astype(jnp.float32)
 
     def dot(a, b, dims):
         return jax.lax.dot_general(
@@ -179,29 +195,29 @@ def _kernel(
         comp_ref[sl, :] = (t - acc_ref[sl, :]) - y
         acc_ref[sl, :] = t
 
-    @pl.when(ok)
-    def _windowed():
-        tabw = tabs_ref[pl.ds(win, W), :]           # (W, 8): du, dv, ρ̄ cols
+    def _windowed_tier(Wv, winv, col_i, col_f):
+        winfv = winv.astype(jnp.float32)
+        tabw = tabs_ref[pl.ds(winv, Wv), :]         # (Wv, 8): du, dv, ρ̄
         tab_du = tabw[:, 0:1]
         tab_dv = tabw[:, 1:2]
         tab_rho = tabw[:, 2:3]
-        gflo = g0c + (winf + col_win) * dz
+        gflo = g0c + (winfv + col_f) * dz
         gfhi = gflo + dz
-        colw = col_win_i + win
+        colw = col_i + winv
 
         du_rows, dv_rows, rho_rows = [], [], []
-        blk = jnp.zeros((W, 8), jnp.float32)
+        blk = jnp.zeros((Wv, 8), jnp.float32)
         for j in range(T):
             # hat coordinates hoisted: qf_t/qr_t already hold the clipped,
             # dz-normalized heights for the whole block
             Bf = jnp.maximum(
-                0.0, 1.0 - jnp.abs(qf_t[j, :][None, :] - winf - col_win))
+                0.0, 1.0 - jnp.abs(qf_t[j, :][None, :] - winfv - col_f))
             du_rows.append(jnp.sum(tab_du * Bf, axis=0))
             dv_rows.append(jnp.sum(tab_dv * Bf, axis=0))
             if saturate_online:
                 Br = jnp.maximum(
                     0.0, 1.0 - jnp.abs(
-                        qr_t[j, :][None, :] - winf - col_win))
+                        qr_t[j, :][None, :] - winfv - col_f))
                 rho_rows.append(jnp.sum(tab_rho * Br, axis=0))
 
             in_span = (colw >= nlow[j, :][None, :]) \
@@ -211,16 +227,25 @@ def _kernel(
                 jnp.abs(jnp.minimum(gfhi, r_up[j, :][None, :])
                         - jnp.maximum(gflo, r_lo[j, :][None, :])),
                 0.0,
-            )                                       # (W, LANE)
+            )                                       # (Wv, LANE)
             fv8 = jnp.concatenate(
                 [fvk[j, :][None, :], fvl[j, :][None, :],
                  jnp.zeros((6, LANE), jnp.float32)], axis=0)
             blk = blk + dot(wmat, fv8, ((1,), (1,)))
 
         finish(du_rows, dv_rows, rho_rows)
-        kahan(blk, pl.ds(win, W))
+        kahan(blk, pl.ds(winv, Wv))
 
-    @pl.when(~ok)
+    @pl.when(ok)
+    def _windowed():
+        _windowed_tier(W, win, col_win_i, col_win)
+
+    if W2:
+        @pl.when(ok2)
+        def _windowed2():
+            _windowed_tier(W2, win2, col_win2_i, col_win2)
+
+    @pl.when(full_cond)
     def _full():
         tab_rows = dot(
             jnp.concatenate([jnp.eye(3, dtype=jnp.float32),
@@ -291,14 +316,14 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_tab", "n_flux_cells", "w_cells",
+        "n_tab", "n_flux_cells", "w_cells", "w2_cells",
         "saturate_online", "faithful", "interpret"
     ),
 )
 def _rhs_adaptive_call(
     params, tabs,
     dens, r, dr, k, l, m, pv, ff2, kh2, pvb, act,
-    n_tab: int, n_flux_cells: int, w_cells: int,
+    n_tab: int, n_flux_cells: int, w_cells: int, w2_cells: int,
     saturate_online: bool, faithful: bool, interpret: bool,
 ):
     n_rows = r.shape[0]
@@ -306,7 +331,8 @@ def _rhs_adaptive_call(
     c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
     kernel = functools.partial(
         _kernel, n_tab=n_tab, n_flux_cells=n_flux_cells, c_pad=c_pad,
-        w_cells=w_cells, saturate_online=saturate_online, faithful=faithful,
+        w_cells=w_cells, w2_cells=w2_cells,
+        saturate_online=saturate_online, faithful=faithful,
     )
     row = pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0))
     outs = pl.pallas_call(
@@ -339,7 +365,7 @@ def _rhs_adaptive_call(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_tab", "n_flux_cells", "w_cells",
+        "n_tab", "n_flux_cells", "w_cells", "w2_cells",
         "saturate_online", "faithful", "interpret"
     ),
 )
@@ -347,7 +373,7 @@ def _rhs_staged_call(
     params, tabs,
     dens, r, dr, k, l, m, pv, ff2, kh2, pvb, act,
     qd, qr, qm,
-    n_tab: int, n_flux_cells: int, w_cells: int,
+    n_tab: int, n_flux_cells: int, w_cells: int, w2_cells: int,
     saturate_online: bool, faithful: bool, interpret: bool,
 ):
     """Adaptive-window RHS + fused RK3 stage update: returns
@@ -357,7 +383,8 @@ def _rhs_staged_call(
     c_pad = _ceil_to(max(n_tab, n_flux_cells), 128)
     kernel = functools.partial(
         _kernel, n_tab=n_tab, n_flux_cells=n_flux_cells, c_pad=c_pad,
-        w_cells=w_cells, saturate_online=saturate_online, faithful=faithful,
+        w_cells=w_cells, w2_cells=w2_cells,
+        saturate_online=saturate_online, faithful=faithful,
         staged=True,
     )
     row = pl.BlockSpec((SUBLANES, LANE), lambda i: (i, 0))
@@ -413,6 +440,10 @@ def rk3_step_fused_windowed(dt, state, statics, bg, cfg, axis_name=None):
     params8, _t, fields, dims = prepare_inputs(dt, state, statics, bg, cfg)
     n, n_tab, n_flux_cells, c_pad = dims
     w_cells = min(_ceil_to(max(cfg.window_cells, 16), 8), c_pad)
+    w2_cells = (min(_ceil_to(cfg.window_cells2, 8), c_pad - 8)
+                if cfg.window_cells2 > 0 else 0)
+    if w2_cells <= w_cells:
+        w2_cells = 0
     interpret = jax.default_backend() != "tpu"
 
     f = list(_derived_fields(fields))
@@ -453,6 +484,7 @@ def rk3_step_fused_windowed(dt, state, statics, bg, cfg, axis_name=None):
         f[0], f[1], f[5], fluxT, qd, qr, qm = _rhs_staged_call(
             params, tabs, *f, qd, qr, qm,
             n_tab=n_tab, n_flux_cells=n_flux_cells, w_cells=w_cells,
+            w2_cells=w2_cells,
             saturate_online=bool(cfg.saturate_online),
             faithful=bool(cfg.faithful_saturation),
             interpret=interpret,
@@ -513,10 +545,15 @@ def rhs_fused_windowed(dt, state, statics, bg, cfg):
     )                                               # (c_pad, 8)
 
     w_cells = min(_ceil_to(max(cfg.window_cells, 16), 8), c_pad)
+    w2_cells = (min(_ceil_to(cfg.window_cells2, 8), c_pad - 8)
+                if cfg.window_cells2 > 0 else 0)
+    if w2_cells <= w_cells:
+        w2_cells = 0
     interpret = jax.default_backend() != "tpu"
     dens_st, drr_st, dmm_st, fluxT = _rhs_adaptive_call(
         params, tabs, *_derived_fields(fields),
         n_tab=n_tab, n_flux_cells=n_flux_cells, w_cells=w_cells,
+            w2_cells=w2_cells,
         saturate_online=bool(cfg.saturate_online),
         faithful=bool(cfg.faithful_saturation),
         interpret=interpret,

@@ -91,6 +91,24 @@ def test_tier2_matches_scan_and_tierless(setup, driver):
         assert _rel(a, b) < 3e-5, name
 
 
+def test_tier2_scan_kernel_matches_xla(setup):
+    """The adaptive-window scan kernel (rhs_backend='pallas') honors the
+    same window_cells2 ladder."""
+    cfg, bg, state, statics, run = setup
+    pcfg = cfg.replace(rhs_backend="pallas", window_cells=16,
+                       window_cells2=W2)
+    xcfg = cfg.replace(rhs_backend="xla", window_cells=0)
+    fp, _, _ = jax.jit(lambda s, st: mt.simulate(
+        s, st, bg, pcfg, run, validate=False))(state, statics)
+    fx, _, _ = jax.jit(lambda s, st: mt.simulate(
+        s, st, bg, xcfg, run, validate=False))(state, statics)
+    for name, a, b in (("dens", fx.rays.dens, fp.rays.dens),
+                       ("r", fx.rays.r, fp.rays.r),
+                       ("m", fx.rays.m, fp.rays.m),
+                       ("u", fx.mean.u, fp.mean.u)):
+        assert _rel(a, b) < 3e-5, name
+
+
 def test_tier2_noop_when_not_wider(setup):
     """window_cells2 <= window_cells silently disables the tier (the
     ladder must be strictly widening)."""
