@@ -147,8 +147,12 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
 
         wcfg = cfg if cfg.window_cells else cfg.replace(
             rhs_backend="pallas", window_cells=mt.ModelConfig().window_cells)
+        # (wcfg inherits window_cells2 from cfg, so the full_rate below
+        # reflects the tier actually benchmarked)
         s = window_fallback_stats(DT, out[0], out[1], bg, wcfg)
         result["fallback_rate_end"] = round(float(s.fallback_rate), 4)
+        if wcfg.window_cells2:
+            result["full_rate_end"] = round(float(s.full_rate), 4)
     return result
 
 

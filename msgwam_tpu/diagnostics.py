@@ -174,8 +174,11 @@ class WindowFallbackStats(NamedTuple):
     """Window-coherence observability for the adaptive-window kernels."""
 
     n_blocks: jax.Array        # total 8192-ray blocks (incl. all-inactive)
-    n_fallback: jax.Array      # blocks that would take the full-width path
+    n_fallback: jax.Array      # blocks whose span outgrows window_cells
     fallback_rate: jax.Array   # n_fallback / n_blocks
+    # with a window_cells2 tier: blocks that outgrow BOTH windows and run
+    # the exact full-width path (== the above when the tier is off)
+    full_rate: jax.Array = jnp.float32(0.0)
 
 
 def window_fallback_stats(dt, state, statics, bg: Background,
@@ -234,12 +237,22 @@ def window_fallback_stats(dt, state, statics, bg: Background,
     n_blocks = n_rows // SUBLANES
     lo_b = jnp.min(lo_t.reshape(n_blocks, SUBLANES * LANE), axis=1)
     hi_b = jnp.max(hi_t.reshape(n_blocks, SUBLANES * LANE), axis=1)
-    win = jnp.clip((lo_b.astype(jnp.int32) // 8) * 8, 0, c_pad - W)
+    lo8 = (lo_b.astype(jnp.int32) // 8) * 8
+    win = jnp.clip(lo8, 0, c_pad - W)
     ok = hi_b - win.astype(jnp.float32) <= W
 
     n_fb = jnp.sum(~ok)
+    W2 = (min(_ceil_to(cfg.window_cells2, 8), c_pad - 8)
+          if cfg.window_cells2 > 0 else 0)
+    if W2 > W:
+        win2 = jnp.clip(lo8, 0, c_pad - W2)
+        full = (~ok) & (hi_b - win2.astype(jnp.float32) > W2)
+        full_rate = jnp.sum(full) / n_blocks
+    else:
+        full_rate = n_fb / n_blocks
     return WindowFallbackStats(
         n_blocks=jnp.asarray(n_blocks),
         n_fallback=n_fb,
         fallback_rate=n_fb / n_blocks,
+        full_rate=full_rate,
     )
