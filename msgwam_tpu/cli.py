@@ -107,6 +107,9 @@ def _load_config(args) -> dict:
 
                 model["window_cells"] = ModelConfig().window_cells
         spec["kernels"] = kernels
+    w2 = getattr(args, "window2", None)
+    if w2 is not None:
+        spec.setdefault("model", {})["window_cells2"] = w2
     return spec
 
 
@@ -333,6 +336,9 @@ def main(argv=None):
     runp.add_argument("--stream-history", action="store_true",
                       help="stream wind profiles to disk via the native "
                            "async writer (requires --log-every)")
+    runp.add_argument("--window2", type=int,
+                      help="second window tier (window_cells2) for the "
+                           "windowed/mega kernels; 0 disables")
     runp.add_argument("--kernels",
                       choices=["xla", "mxu", "pallas", "windowed", "mega"],
                       help="compute-kernel override: xla = parity backends "
