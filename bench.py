@@ -51,7 +51,8 @@ DT = 120.0
 BASELINE_RAY_STEPS_PER_SEC = 3.0e4
 
 
-def _setup(n_ray: int, backend: str, accum: str, w2: int = 0):
+def _setup(n_ray: int, backend: str, accum: str, w2: int = 0,
+           w1: int = 0):
     cfg = mt.REFERENCE_RUN_CONFIG.replace(
         saturate_online=True,
         dtype="float32",
@@ -61,8 +62,8 @@ def _setup(n_ray: int, backend: str, accum: str, w2: int = 0):
         # window width: one source of truth — the ModelConfig default
         # (W=16, measured fastest at 1e6; RESULTS.md); "pallas" = the
         # plain full-width fused kernel (window_cells=0)
-        window_cells=(mt.ModelConfig().window_cells
-                      if backend == "pallasw" else 0),
+        window_cells=(w1 or (mt.ModelConfig().window_cells
+                             if backend == "pallasw" else 0)),
         flux_accum=accum if backend == "mxu" else "native",
         window_cells2=w2,
     )
@@ -86,12 +87,12 @@ def _setup(n_ray: int, backend: str, accum: str, w2: int = 0):
 def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
             backend: str = "mega", accum: str = "native",
             sharded: bool = False, fallback: bool = False,
-            w2: int = 0) -> dict:
+            w2: int = 0, w1: int = 0) -> dict:
     if backend == "mega" and sharded:
         # the megakernel family is single-chip; the sharded path runs the
         # adaptive-window fused-RHS kernel per shard
         backend = "pallasw"
-    cfg, bg, state, statics = _setup(n_ray, backend, accum, w2)
+    cfg, bg, state, statics = _setup(n_ray, backend, accum, w2, w1)
     run = mt.RunConfig(dt=DT, n_steps=n_steps, save_every=n_steps)
 
     if sharded:
@@ -130,7 +131,8 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
 
     ray_steps_per_sec = n_ray * n_steps / best
     label = backend + ("+" + accum if accum != "native" else "") \
-        + ("+sharded" if sharded else "") + (f"+w2={w2}" if w2 else "")
+        + ("+sharded" if sharded else "") \
+        + (f"+w1={w1}" if w1 else "") + (f"+w2={w2}" if w2 else "")
     result = {
         "metric": f"ray-volume steps/sec/chip at {n_ray:.0e} rays "
                   f"(coupled, online saturation, f32, {label})",
@@ -199,6 +201,8 @@ if __name__ == "__main__":
     ap.add_argument("--sharded", action="store_true")
     ap.add_argument("--n-ray", type=int, default=N_RAY)
     ap.add_argument("--steps", type=int, default=N_STEPS)
+    ap.add_argument("--w1", type=int, default=0,
+                    help="first window width override (window_cells)")
     ap.add_argument("--w2", type=int, default=0,
                     help="second window tier (window_cells2; 0 = off)")
     ap.add_argument("--all", action="store_true",
@@ -225,6 +229,7 @@ if __name__ == "__main__":
             print(json.dumps(run_one(args.n_ray, args.steps, backend, accum)))
     elif (args.backend == "mega" and args.accum == "native"
           and not args.sharded and not args.fallback and not args.w2
+          and not args.w1
           and args.n_ray == N_RAY and args.steps == N_STEPS):
         # bare `python bench.py` (the driver invocation): metric of record
         # plus the embedded 1e6 north-star measurement
@@ -232,4 +237,4 @@ if __name__ == "__main__":
     else:
         print(json.dumps(run_one(args.n_ray, args.steps, args.backend,
                                  args.accum, args.sharded, args.fallback,
-                                 w2=args.w2)))
+                                 w2=args.w2, w1=args.w1)))

@@ -38,9 +38,11 @@ def main():
     from bench import run_one
 
     print(json.dumps({"phase": "tier2"}), flush=True)
+    # ladders from the span-study brute force: (24,96) best at 1e5,
+    # (16,96) at 1e6; 104 catches the 100-cell tail at this grid
     for n_ray, steps in ((100_000, 8000), (1_000_000, 1000)):
-        for w2 in (0, 64, 104):
-            r = run_one(n_ray, steps, "mega", w2=w2)
+        for w1, w2 in ((0, 0), (0, 96), (0, 104), (24, 96)):
+            r = run_one(n_ray, steps, "mega", w2=w2, w1=w1)
             print(json.dumps(r), flush=True)
 
 
