@@ -32,6 +32,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module: a full-suite run
+    accumulates ~600 XLA:CPU programs in one process and the compiler
+    segfaults deterministically around the 144th test (inside
+    backend_compile_and_load); dropping the caches at module boundaries
+    keeps the process within whatever resource the compiler exhausts.
+    Costs a few shared recompiles per module."""
+    yield
+    jax.clear_caches()
+
+
 REFERENCE_PATH = "/root/reference"
 
 
