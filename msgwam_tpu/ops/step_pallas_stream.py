@@ -237,11 +237,16 @@ def _kernel(
             pad8 = jnp.concatenate(
                 [jnp.eye(2, dtype=jnp.float32),
                  jnp.zeros((2, 6), jnp.float32)], axis=1)
-            uv_s[:] = jax.lax.dot_general(
+            wrow = jax.lax.dot_general(
                 wind_ref[0], pad8,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                               # (c_pad, 8)
+            # the imposed wind is a shared function of time (e.g. tidal
+            # shear), so every ensemble member's column block gets the
+            # same row — a static loop, once per step
+            for e in range(n_members):
+                uv_s[pl.ds(e * c_pad, c_pad), :] = wrow
 
     # --- per-stage setup (before any tile of this member's stage slice) ----
     @pl.when(m_first & (st < 3))
@@ -1071,7 +1076,8 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
 
 def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
                                       tile_rows: int = TILE_ROWS,
-                                      sources=None):
+                                      sources=None, wind_fn=None,
+                                      t0: float = 0.0):
     """Kernel implementation behind :func:`simulate_streaming_ensemble`.
 
     Runs a whole independent-member ensemble (BASELINE config 5) as ONE
@@ -1089,10 +1095,12 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
     per-member launches (and their per-launch dispatch cost) with one
     launch at full streaming-kernel throughput.
 
-    Scope: float32, ``hprop=False``, online saturation, no imposed wind
-    (the kernel's per-step wind table is member-shared; per-member tables
-    are not plumbed).  Cull/relaunch run IN-KERNEL exactly as in the
-    single-member driver — the lifecycle machinery is per-ray, so the
+    Scope: float32, ``hprop=False``, online saturation.  A prescribed
+    transient wind (``wind_fn``, e.g. tidal shear) is supported as a
+    member-SHARED function of time — the host-built per-step table is
+    broadcast to every member's wind block in-kernel (per-member wind
+    functions are not plumbed).  Cull/relaunch run IN-KERNEL exactly as
+    in the single-member driver — the lifecycle machinery is per-ray, so the
     member partitioning is transparent to it; pass ``sources`` as a
     stacked ``(RayState, RayStatics)`` template pair (leading ensemble
     axis, the :func:`stack_ensemble` layout) when ``cfg.relaunch``.
@@ -1163,9 +1171,22 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
     unshape = lambda x: x.reshape(E, m_pad)[:, :n]
     S = run.save_every
 
-    def chunk(carry, _):
+    dt_f = jnp.float32(run.dt)
+
+    def chunk(carry, ci):
         dens, r, m, uvT = carry[:4]
         act_c = carry[4] if do_cull else None
+        if wind_fn is not None:
+            # one (2, c_pad) wind row per in-kernel step, shared by all
+            # members (models/integrate.py:370-377 semantics)
+            ts = (jnp.float32(t0)
+                  + (ci * S + jnp.arange(S)).astype(jnp.float32) * dt_f)
+            wu, wv = jax.vmap(wind_fn)(ts)
+            wt = jnp.zeros((S, 2, c_pad), jnp.float32)
+            wt = wt.at[:, 0, :wu.shape[1]].set(wu.astype(jnp.float32))
+            wt = wt.at[:, 1, :wv.shape[1]].set(wv.astype(jnp.float32))
+        else:
+            wt = None
         outs = _streamkernel_call(
             params, maps, cols, uvT, *statics_fields,
             dens, r, m,
@@ -1175,7 +1196,7 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
             prognostic=bool(cfg.prognostic_mean),
             faithful=bool(cfg.faithful_saturation),
             interpret=interpret, t_rows=tile_rows,
-            src=src_slabs, act_s=act_c,
+            wind=wt, src=src_slabs, act_s=act_c,
             cull=do_cull, relaunch=do_relaunch,
             w2_cells=w2_cells,
         )
@@ -1209,14 +1230,15 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
 
 def simulate_streaming_ensemble(states, statics, bg, cfg, run,
                                 tile_rows: int = TILE_ROWS,
-                                sources=None):
+                                sources=None, wind_fn=None,
+                                t0: float = 0.0):
     """Differentiable front for :func:`_simulate_streaming_ensemble_impl`.
 
     **Differentiable in (states, statics)** via a ``custom_vjp`` whose
     backward pass differentiates the numerically equivalent XLA scan path
     vmapped over members (the ``simulate_resident`` pattern,
-    ``step_pallas.py:633-659``); ``bg`` and the relaunch ``sources``
-    templates are closed over (non-differentiable) — the kernel's
+    ``step_pallas.py:633-659``); ``bg``, the relaunch ``sources``
+    templates, and ``wind_fn`` are closed over (non-differentiable) — the kernel's
     flux→wind operators are host-built from a concrete background.  The
     backward compiles a vmapped scan, so gradients cost scan-path, not
     kernel, throughput.  See the impl's docstring for the kernel design,
@@ -1226,7 +1248,8 @@ def simulate_streaming_ensemble(states, statics, bg, cfg, run,
     @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
     def diff(s, st, cfg_, run_, t_rows):
         return _simulate_streaming_ensemble_impl(s, st, bg, cfg_, run_,
-                                                 t_rows, sources=sources)
+                                                 t_rows, sources=sources,
+                                                 wind_fn=wind_fn, t0=t0)
 
     def fwd(s, st, cfg_, run_, t_rows):
         return diff(s, st, cfg_, run_, t_rows), (s, st)
@@ -1243,7 +1266,8 @@ def simulate_streaming_ensemble(states, statics, bg, cfg, run,
         def generic(s_, st_):
             def one(ms, mst, msrc):
                 fin, _, hist = simulate(ms, mst, bg, xla_cfg, run_,
-                                        source=msrc, validate=False)
+                                        source=msrc, wind_fn=wind_fn,
+                                        t0=t0, validate=False)
                 return fin, hist[0].mean
 
             if sources is None:

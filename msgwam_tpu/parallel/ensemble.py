@@ -52,6 +52,8 @@ def ensemble_simulate(
     sequential: bool = False,
     backend: str = "scan",
     sources=None,
+    wind_fn=None,
+    t0: float = 0.0,
 ):
     """Run a batch of simulations (leading ensemble axis on every leaf of
     ``states``/``statics``), sharded over ``mesh`` if given.
@@ -70,7 +72,9 @@ def ensemble_simulate(
     range), ~1.4× the scan path's throughput per device.  Scope: online
     saturation, f32; in-kernel cull/relaunch run per member when
     ``cfg.cull``/``cfg.relaunch`` (pass ``sources`` as a stacked
-    per-member template pair); ``observe`` is rejected — the return is
+    per-member template pair), and a member-shared prescribed transient
+    wind (``wind_fn``, e.g. tidal shear) is broadcast to every member's
+    wind block in-kernel; ``observe`` is rejected — the return is
     that function's ``(final, statics, mean_history)`` contract, with
     every leaf sharded ``P(axis)`` over ``mesh`` (members must divide the
     mesh axis).
@@ -90,7 +94,8 @@ def ensemble_simulate(
 
         if mesh is None:
             return simulate_streaming_ensemble(states, statics, bg, cfg,
-                                               run, sources=sources)
+                                               run, sources=sources,
+                                               wind_fn=wind_fn, t0=t0)
         if cfg.relaunch and sources is not None:
             # eager template guard, before the values disappear into
             # shard_map tracers (where the impl's check must skip)
@@ -99,7 +104,7 @@ def ensemble_simulate(
             _check_relaunch_template(sources[0], sources[1],
                                      states.rays, statics)
         fn = _mega_sharded_fn(mesh, bg, cfg, run, axis,
-                              sources is not None)
+                              sources is not None, wind_fn, t0)
         shard = NamedSharding(mesh, P(axis))
         states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
         statics = jax.tree.map(lambda x: jax.device_put(x, shard), statics)
@@ -112,6 +117,7 @@ def ensemble_simulate(
     fn = build_ensemble_fn(
         cfg, run, mesh=mesh, observe=observe, axis=axis,
         sequential=sequential, with_source=sources is not None,
+        wind_fn=wind_fn, t0=t0,
     )
     if mesh is not None:
         shard = NamedSharding(mesh, P(axis))
@@ -139,11 +145,12 @@ _MEGA_COMPILED = OrderedDict()
 _MEGA_COMPILED_MAX = 8
 
 
-def _mega_sharded_fn(mesh, bg, cfg, run, axis, with_sources):
+def _mega_sharded_fn(mesh, bg, cfg, run, axis, with_sources,
+                     wind_fn=None, t0=0.0):
     from ..ops.step_pallas_stream import simulate_streaming_ensemble
     from ..state import MeanState, RayState, State
 
-    key = (mesh, cfg, run, axis, with_sources,
+    key = (mesh, cfg, run, axis, with_sources, wind_fn, float(t0),
            tuple(id(l) for l in jax.tree.leaves(bg)))
     hit = _MEGA_COMPILED.get(key)
     if hit is not None:
@@ -157,12 +164,12 @@ def _mega_sharded_fn(mesh, bg, cfg, run, axis, with_sources):
                                                P(None, axis)))
     if with_sources:
         body = lambda s, st, src: simulate_streaming_ensemble(
-            s, st, bg, cfg, run, sources=src)
+            s, st, bg, cfg, run, sources=src, wind_fn=wind_fn, t0=t0)
         in_specs = (ray_specs, st_specs,
                     (RayState(*([P(axis)] * 9)), st_specs))
     else:
         body = lambda s, st: simulate_streaming_ensemble(
-            s, st, bg, cfg, run)
+            s, st, bg, cfg, run, wind_fn=wind_fn, t0=t0)
         in_specs = (ray_specs, st_specs)
     fn = jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=in_specs, out_specs=out_spec,
@@ -185,6 +192,8 @@ def build_ensemble_fn(
     axis: str = ENSEMBLE_AXIS,
     sequential: bool = False,
     with_source: bool = False,
+    wind_fn: Optional[Callable] = None,
+    t0: float = 0.0,
 ) -> Callable:
     """Build (and cache) the jitted ensemble runner
     ``f(states, statics[, sources], bg) -> (final, statics, history)``.
@@ -198,10 +207,13 @@ def build_ensemble_fn(
     obs = observe or _default_observe
     if with_source:
         member = lambda s, st, src, bg: simulate(
-            s, st, bg, cfg, run, observe=obs, source=src)
+            s, st, bg, cfg, run, observe=obs, source=src,
+            wind_fn=wind_fn, t0=t0)
         in_axes = (0, 0, 0, None)
     else:
-        member = lambda s, st, bg: simulate(s, st, bg, cfg, run, observe=obs)
+        member = lambda s, st, bg: simulate(s, st, bg, cfg, run,
+                                            observe=obs, wind_fn=wind_fn,
+                                            t0=t0)
         in_axes = (0, 0, None)
 
     if sequential:

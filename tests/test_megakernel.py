@@ -430,3 +430,41 @@ def test_streaming_ensemble_is_differentiable():
     g_xla = jax.grad(loss_for(xla_sim))(1.0)
     assert np.isfinite(float(g_ens)) and float(g_ens) != 0.0
     np.testing.assert_allclose(float(g_ens), float(g_xla), rtol=5e-4)
+
+
+def test_streaming_ensemble_prescribed_wind_matches_per_member():
+    """A member-shared prescribed transient wind (tidal shear) + full
+    lifecycle inside a one-launch ensemble: the per-step wind table is
+    broadcast to every member's wind block in-kernel, so each member
+    must match its own single-member streaming run with the same
+    wind_fn."""
+    from msgwam_tpu.models.backgrounds import tidal_shear
+    from msgwam_tpu.ops.step_pallas_stream import (
+        simulate_streaming, simulate_streaming_ensemble)
+    from msgwam_tpu.parallel import stack_ensemble
+
+    E = 2
+    members = []
+    for e in range(E):
+        cfg, bg, state, statics = _setup(n=10000, pad_to=10240,
+                                         amp=0.003 * (1 + 0.2 * e))
+        members.append((state, statics))
+    cfg = cfg.replace(cull=True, relaunch=True, m_max=np.pi / 1500.0,
+                      prognostic_mean=False)
+    gc = mt.GridConfig()
+    cj = jnp.asarray(gc.centers(), jnp.float32)
+    wf = lambda t: (tidal_shear(cj, t, cfg), jnp.zeros_like(cj))
+    bstates, bstatics = stack_ensemble(members)
+    bsources = (bstates.rays, bstatics)
+    run = mt.RunConfig(dt=120.0, n_steps=6, save_every=3)
+
+    fin, stf, mh = simulate_streaming_ensemble(
+        bstates, bstatics, bg, cfg, run, sources=bsources, wind_fn=wf)
+    for e in range(E):
+        s1, st1 = members[e]
+        f1, st1f, _ = simulate_streaming(
+            s1, st1, bg, cfg, run, source=(s1.rays, st1), wind_fn=wf)
+        assert (np.asarray(stf.active)[e] == np.asarray(st1f.active)).all()
+        assert _rel(f1.rays.dens, fin.rays.dens[e]) < 1e-5
+        assert _rel(f1.rays.m, fin.rays.m[e]) < 1e-5
+        assert _rel(f1.mean.u, fin.mean.u[e]) < 1e-5
