@@ -92,6 +92,16 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         # the megakernel family is single-chip; the sharded path runs the
         # adaptive-window fused-RHS kernel per shard
         backend = "pallasw"
+    if backend == "mega" and not w1 and not w2:
+        # measured champion windows per size (benchmarks/WORKLIST_r03.jsonl):
+        # at 1e5 W=16 drops more blocks to the full-width path (fallback
+        # 54% vs 46%) so W=24 wins (1.08e9 vs 0.99e9 ray-steps/s); at >=1e6
+        # W=16 stays best but the 96-cell second tier catches the
+        # dispersive 80-100-cell tail (1.55e9 vs 1.47e9)
+        if n_ray <= 200_000:
+            w1 = 24
+        else:
+            w2 = 96
     cfg, bg, state, statics = _setup(n_ray, backend, accum, w2, w1)
     run = mt.RunConfig(dt=DT, n_steps=n_steps, save_every=n_steps)
 

@@ -126,7 +126,11 @@ class ModelConfig:
     # (per-ray extents stay at ~0.5 cells; it is pure positional mixing) —
     # so a wide second tier recovers most of the 8x full-width penalty on
     # exactly those blocks.  Rounded up to a multiple of 8; 0 disables the
-    # tier.  Results are exact on every path.
+    # tier.  Results are exact on every path.  Measured on TPU
+    # (benchmarks/WORKLIST_r03.jsonl): W2=96 wins +5% at >=1e6 rays (the
+    # bench default there); at 1e5 the tier is NEGATIVE (-2..-9%) and the
+    # right move is window_cells=24 instead — see bench.py's champion
+    # selection.
     window_cells2: int = 0
 
     # Prognostic mean flow (wave–mean-flow coupling on).  False freezes the
