@@ -249,9 +249,14 @@ def config_ladder_champion(dtype, n_steps=1000):
     (cull + relaunch + transient tidal wind) must run (config 4)."""
     from msgwam_tpu.models.backgrounds import tidal_shear
 
+    # measured champion window for <=131k-class problems: W=24 (the W=16
+    # default lets ~8% more blocks fall to the full-width path at these
+    # sizes — benchmarks/WORKLIST_r03.jsonl); >=1e6 flat runs instead use
+    # W=16 + window_cells2=96 (bench.py)
     mk = lambda **kw: mt.REFERENCE_RUN_CONFIG.replace(
         dtype=str(np.dtype(dtype)),
-        projection_backend="mxu", interp_backend="mxu", **kw)
+        projection_backend="mxu", interp_backend="mxu",
+        **{"window_cells": 24, **kw})
     rows = []
 
     # 0: single packet, static U(z) — megakernel, offline saturation
