@@ -194,7 +194,7 @@ def run_experiment(
     use_mega = False
     if spec.get("kernels") == "mega":
         reasons = []
-        if spec.get("dtype", "float64") != "float32":
+        if dtype != jnp.float32:
             reasons.append("state dtype is not float32")
         if cfg.hprop:
             reasons.append("hprop=True")

@@ -181,34 +181,30 @@ class WindowFallbackStats(NamedTuple):
     full_rate: jax.Array = jnp.float32(0.0)
 
 
-def window_fallback_stats(dt, state, statics, bg: Background,
-                          cfg: ModelConfig) -> WindowFallbackStats:
-    """How many 8192-ray blocks of the adaptive-window kernels
-    (``ops/rhs_pallas_windowed.py``, ``ops/step_pallas.py``) would fall
-    back to the exact full-width path for the *current* buffer layout.
+def block_window_bounds(dt, state, statics, bg: Background,
+                        cfg: ModelConfig, block_rows: int = 0):
+    """Per-block touched-cell window bounds ``(lo_b, hi_b, c_pad)`` —
+    the exact index arithmetic of the adaptive-window kernels (hat bases
+    of r and the saturation-extrapolated r_fin, plus the deposit span
+    ``[nlow, nup)`` from ``lib/libprop.py:121-135``; reciprocal-multiply
+    by 1/dz like the kernels) mirrored in plain XLA.  Shared by
+    :func:`window_fallback_stats` and the span study
+    (``tools/span_study.py``) so the mirror lives in exactly one place.
 
-    The windowed kernels silently stay exact when a block's touched-cell
-    span outgrows ``W`` — correct, but a decohered buffer then quietly
-    loses the ~1.5x windowed win.  This mirror computes the identical
-    per-block window bounds (same index arithmetic as the kernels: hat
-    bases of r and the saturation-extrapolated r_fin, plus the deposit
-    span ``[nlow, nup)`` from ``lib/libprop.py:121-135``) in plain XLA,
-    so observability costs the hot loop nothing.  Blocks with no active
-    ray never fall back (the kernel's mask gives them an empty span).
-
-    Used by the coherence stress test (tests/test_windowed.py) and
-    reported by ``bench.py --fallback``.
+    ``block_rows`` as in :func:`window_fallback_stats`.  All-inactive
+    blocks return ``lo_b=1e9 > hi_b=-1e9`` (an empty span).
     """
     from .constants import ROT_EARTH
-    from .ops.rhs_pallas import LANE, SUBLANES, _ceil_to, prepare_inputs
+    from .ops.rhs_pallas import LANE, SUBLANES, prepare_inputs
 
-    _params, _tables, fields, dims = prepare_inputs(dt, state, statics, bg, cfg)
+    _params, _tables, fields, dims = prepare_inputs(dt, state, statics,
+                                                    bg, cfg)
     _n, n_tab, n_flux_cells, c_pad = dims
     (dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act) = fields
-    W = min(_ceil_to(max(cfg.window_cells, 16), 8), c_pad)
 
     g0c = bg.centers[0].astype(jnp.float32)
     dz = (bg.centers[1] - bg.centers[0]).astype(jnp.float32)
+    idz = 1.0 / dz   # the kernels multiply by the reciprocal; match exactly
     g0f = bg.faces[1].astype(jnp.float32)
     hi_c = g0c + (n_tab - 1.0) * dz
     hi_f = g0f + (n_tab - 2.0) * dz
@@ -222,10 +218,10 @@ def window_fallback_stats(dt, state, statics, bg: Background,
     cgr = -m * (om * om - ff * ff) / om / k2
     r_fin = r + cgr * jnp.float32(dt)
 
-    nlow = jnp.clip(((r - 0.5 * dr) / dz).astype(jnp.int32), 0, nzmax_i)
-    nup = jnp.clip(((r + 0.5 * dr) / dz + 1.0).astype(jnp.int32), 0, nzmax_i)
-    qf_t = (jnp.clip(r, g0f, hi_f) - g0f) / dz
-    qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) / dz
+    nlow = jnp.clip(((r - 0.5 * dr) * idz).astype(jnp.int32), 0, nzmax_i)
+    nup = jnp.clip(((r + 0.5 * dr) * idz + 1.0).astype(jnp.int32), 0, nzmax_i)
+    qf_t = (jnp.clip(r, g0f, hi_f) - g0f) * idz
+    qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) * idz
     lo_t = jnp.minimum(jnp.minimum(jnp.floor(qf_t), jnp.floor(qr_t)) - 1.0,
                        nlow.astype(jnp.float32))
     hi_t = jnp.maximum(jnp.maximum(jnp.floor(qf_t), jnp.floor(qr_t)) + 2.0,
@@ -234,9 +230,46 @@ def window_fallback_stats(dt, state, statics, bg: Background,
     hi_t = jnp.where(amask, hi_t, -1e9)
 
     n_rows = r.shape[0]
-    n_blocks = n_rows // SUBLANES
-    lo_b = jnp.min(lo_t.reshape(n_blocks, SUBLANES * LANE), axis=1)
-    hi_b = jnp.max(hi_t.reshape(n_blocks, SUBLANES * LANE), axis=1)
+    if block_rows <= 0:
+        block_rows = SUBLANES if n_rows % SUBLANES == 0 else 8
+    n_blocks = n_rows // block_rows
+    lo_b = jnp.min(lo_t.reshape(n_blocks, block_rows * LANE), axis=1)
+    hi_b = jnp.max(hi_t.reshape(n_blocks, block_rows * LANE), axis=1)
+    return lo_b, hi_b, c_pad
+
+
+def window_fallback_stats(dt, state, statics, bg: Background,
+                          cfg: ModelConfig,
+                          block_rows: int = 0) -> WindowFallbackStats:
+    """How many 8192-ray blocks of the adaptive-window kernels
+    (``ops/rhs_pallas_windowed.py``, ``ops/step_pallas.py``) would fall
+    back to the exact full-width path for the *current* buffer layout.
+
+    ``block_rows`` is the kernel tile height in 128-lane sublane rows
+    (8192 rays per block at the default 64).  0 picks the resident
+    kernel's rule: 64 when the padded buffer divides evenly, else 8
+    (``ops/step_pallas.py`` tile selection); the scan-path windowed
+    kernel and the streaming kernel always use 64-row tiles at their
+    padded sizes, which that rule also yields.
+
+    The windowed kernels silently stay exact when a block's touched-cell
+    span outgrows ``W`` — correct, but a decohered buffer then quietly
+    loses the ~1.5x windowed win.  This mirror computes the identical
+    per-block window bounds (same index arithmetic as the kernels: hat
+    bases of r and the saturation-extrapolated r_fin, plus the deposit
+    span ``[nlow, nup)`` from ``lib/libprop.py:121-135``) in plain XLA,
+    so observability costs the hot loop nothing.  Blocks with no active
+    ray never fall back (the kernel's mask gives them an empty span).
+
+    Used by the coherence stress test (tests/test_windowed.py) and
+    reported by ``bench.py --fallback``.
+    """
+    from .ops.rhs_pallas import _ceil_to
+
+    lo_b, hi_b, c_pad = block_window_bounds(dt, state, statics, bg, cfg,
+                                            block_rows=block_rows)
+    n_blocks = lo_b.shape[0]
+    W = min(_ceil_to(max(cfg.window_cells, 16), 8), c_pad)
     lo8 = (lo_b.astype(jnp.int32) // 8) * 8
     win = jnp.clip(lo8, 0, c_pad - W)
     ok = hi_b - win.astype(jnp.float32) <= W

@@ -224,10 +224,9 @@ def _rhs_fused_fwd(dt, state, statics, bg, cfg, axis_name):
 def _rhs_fused_bwd(cfg, axis_name, res, g):
     dt, state, statics, bg = res
     # dense-XLA backends stand in for the in-kernel bases; flux_accum is
-    # deliberately carried through from cfg (dataclasses.replace keeps it)
+    # carried through unchanged (replace() keeps unspecified fields)
     xla_cfg = cfg.replace(rhs_backend="xla",
-                          projection_backend="mxu", interp_backend="mxu",
-                          flux_accum=cfg.flux_accum)
+                          projection_backend="mxu", interp_backend="mxu")
     _, vjp = jax.vjp(
         lambda dt_, s_, st_, bg_: _rhs_xla(dt_, s_, st_, bg_, xla_cfg,
                                            axis_name),

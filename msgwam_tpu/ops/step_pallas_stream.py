@@ -905,15 +905,30 @@ def _frozen_fields(rays, statics, shape2):
     )
 
 
+def _auto_tile_rows(n: int) -> int:
+    """Streamed-tile height by problem size (tools/tile_sweep.py sweep):
+    per-tile fixed costs (DMA/semaphore ops, window-bound reductions,
+    stage-table reads) amortize with larger tiles, while window quality
+    (a merged tile's union span widens) and double-buffer VMEM push back.
+    Measured champions: 64 below ~5e5 rays, 128 at 1e6 (1.52→1.76e9
+    ray-steps/s), 256 at 1e7 (1.72→2.26e9)."""
+    if n >= 4_000_000:
+        return 256
+    if n >= 500_000:
+        return 128
+    return TILE_ROWS
+
+
 def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
-                       tile_rows: int = TILE_ROWS,
+                       tile_rows: int = 0,
                        source=None, wind_fn=None, t0: float = 0.0,
                        _ablate: str = ""):
     """Whole-run streaming megakernel driver: same contract and history
     framing as :func:`msgwam_tpu.ops.step_pallas.simulate_resident`, with
     no VMEM capacity limit.  ``run.n_steps`` runs as
     ``n_steps // save_every`` launches of ``save_every`` in-kernel RK3
-    steps each.
+    steps each.  ``tile_rows`` (streamed-tile height in 128-lane rows)
+    defaults to 0 = pick by problem size (:func:`_auto_tile_rows`).
 
     ``_ablate`` is a profiling-only switch (``tools/floor_ablation.py``)
     that compile-time-strips parts of the per-tile work to decompose the
@@ -952,6 +967,8 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
 
     rays, mean = state.rays, state.mean
     n = rays.r.shape[0]
+    if tile_rows <= 0:
+        tile_rows = _auto_tile_rows(n)
     params, n_tab, n_flux_cells, c_pad, w_cells, w2_cells = \
         _grid_params(bg, cfg, run)
     maps, cols = build_operators(bg, cfg, n_tab, c_pad)
@@ -1075,7 +1092,7 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
 
 
 def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
-                                      tile_rows: int = TILE_ROWS,
+                                      tile_rows: int = 0,
                                       sources=None, wind_fn=None,
                                       t0: float = 0.0):
     """Kernel implementation behind :func:`simulate_streaming_ensemble`.
@@ -1135,6 +1152,10 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
                 f"{name} has dtype {jnp.asarray(arr).dtype}")
 
     E, n = rays.r.shape
+    if tile_rows <= 0:
+        tile_rows = _auto_tile_rows(n)   # per-member size: members pad
+        # to tile multiples, so the per-tile amortization argument is
+        # per-member (tools/tile_sweep.py)
     params, n_tab, n_flux_cells, c_pad, w_cells, w2_cells = \
         _grid_params(bg, cfg, run)
     maps, cols = build_operators(bg, cfg, n_tab, c_pad)
@@ -1229,7 +1250,7 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
 
 
 def simulate_streaming_ensemble(states, statics, bg, cfg, run,
-                                tile_rows: int = TILE_ROWS,
+                                tile_rows: int = 0,
                                 sources=None, wind_fn=None,
                                 t0: float = 0.0):
     """Differentiable front for :func:`_simulate_streaming_ensemble_impl`.

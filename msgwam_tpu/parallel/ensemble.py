@@ -17,6 +17,7 @@ from collections import OrderedDict
 from typing import Callable, Optional
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig, RunConfig
@@ -30,8 +31,6 @@ ENSEMBLE_AXIS = "ensemble"
 def stack_ensemble(members):
     """Stack a list of (state, statics) members into batched pytrees with a
     leading ensemble axis."""
-    import jax.numpy as jnp
-
     states = [m[0] for m in members]
     statics = [m[1] for m in members]
     return (
@@ -75,9 +74,11 @@ def ensemble_simulate(
     per-member template pair), and a member-shared prescribed transient
     wind (``wind_fn``, e.g. tidal shear) is broadcast to every member's
     wind block in-kernel; ``observe`` is rejected — the return is
-    that function's ``(final, statics, mean_history)`` contract, with
-    every leaf sharded ``P(axis)`` over ``mesh`` (members must divide the
-    mesh axis).
+    ``(final, statics, mean_history)`` with ``mean_history`` transposed
+    to the scan backend's member-leading ``(E, n_chunks, n_cell)`` layout
+    (the raw :func:`simulate_streaming_ensemble` contract is
+    frame-leading), and every leaf sharded ``P(axis)`` over ``mesh``
+    (members must divide the mesh axis).
     """
     if backend == "mega":
         from ..ops.step_pallas_stream import simulate_streaming_ensemble
@@ -92,10 +93,15 @@ def ensemble_simulate(
                 "backend='mega' batches all local members into one kernel "
                 "launch; sequential=True is a scan-backend option")
 
+        def _member_leading(out):
+            fin, st_, mh = out
+            mh = jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), mh)
+            return fin, st_, mh
+
         if mesh is None:
-            return simulate_streaming_ensemble(states, statics, bg, cfg,
-                                               run, sources=sources,
-                                               wind_fn=wind_fn, t0=t0)
+            return _member_leading(simulate_streaming_ensemble(
+                states, statics, bg, cfg, run, sources=sources,
+                wind_fn=wind_fn, t0=t0))
         if cfg.relaunch and sources is not None:
             # eager template guard, before the values disappear into
             # shard_map tracers (where the impl's check must skip)
@@ -109,9 +115,9 @@ def ensemble_simulate(
         states = jax.tree.map(lambda x: jax.device_put(x, shard), states)
         statics = jax.tree.map(lambda x: jax.device_put(x, shard), statics)
         if sources is None:
-            return fn(states, statics)
+            return _member_leading(fn(states, statics))
         sources = jax.tree.map(lambda x: jax.device_put(x, shard), sources)
-        return fn(states, statics, sources)
+        return _member_leading(fn(states, statics, sources))
     if backend != "scan":
         raise ValueError(f"unknown ensemble backend {backend!r}")
     fn = build_ensemble_fn(

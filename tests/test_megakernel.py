@@ -237,6 +237,23 @@ def test_streaming_matches_scan_path_online():
     assert _rel(ha_s.mean.u[0], hb_s.mean.u[0]) < 3e-5
 
 
+def test_streaming_tile_rows_invariance():
+    """The streamed-tile height is a pure scheduling knob: tile_rows=128
+    (the measured 1e6 champion, auto-selected there) must reproduce the
+    default-tile run to f32 accumulation tolerance — per-tile window
+    bounds and flux partial-sum grouping change with the merge
+    granularity, but every deposit path stays exact."""
+    from msgwam_tpu.ops.step_pallas_stream import simulate_streaming
+
+    cfg, bg, state, statics = _setup(n=24576, pad_to=24576)
+    run = mt.RunConfig(dt=120.0, n_steps=2, save_every=2)
+    a, _, _ = simulate_streaming(state, statics, bg, cfg, run, tile_rows=64)
+    b, _, _ = simulate_streaming(state, statics, bg, cfg, run, tile_rows=128)
+    assert _rel(a.rays.dens, b.rays.dens) < 1e-5
+    assert _rel(a.rays.r, b.rays.r) < 1e-5
+    assert _rel(a.mean.u, b.mean.u) < 1e-5
+
+
 def test_streaming_offline_saturation_and_dens_prop():
     """Offline direct saturation (the reference default, quirk 2 included)
     as the streaming kernel's 4th grid phase: saturated trajectory and the

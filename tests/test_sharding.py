@@ -199,7 +199,8 @@ def test_ensemble_mega_backend_sharded_matches_members():
     mesh = jax.make_mesh((2,), ("ensemble",), devices=jax.devices()[:2])
     fin, _, mh = ensemble_simulate(bstates, bstatics, bg, cfg, run,
                                    mesh=mesh, backend="mega")
-    assert mh.u.shape == (2, E, uu.shape[0])
+    # member-leading, matching the scan backend's history layout
+    assert mh.u.shape == (E, 2, uu.shape[0])
     # gather the sharded outputs to host before scalar member indexing
     fin = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), fin)
     for e in range(E):

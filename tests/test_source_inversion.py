@@ -11,7 +11,9 @@ import sys
 import numpy as np
 import jax
 import jax.numpy as jnp
-import optax
+import pytest
+
+optax = pytest.importorskip("optax")
 
 
 def _load_example():

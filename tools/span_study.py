@@ -46,41 +46,11 @@ F_TILE = 0.558 / 123.0         # W-independent ms per step per tile
 
 
 def block_spans(dt, state, statics, bg, cfg):
-    """Per-8192-ray-block window spans, same index math as the kernels
-    (mirrors diagnostics.window_fallback_stats but returns the spans)."""
-    from msgwam_tpu.constants import ROT_EARTH
-    from msgwam_tpu.ops.rhs_pallas import LANE, SUBLANES, prepare_inputs
+    """Per-8192-ray-block window spans from the kernels' index math
+    (the single shared mirror, diagnostics.block_window_bounds)."""
+    from msgwam_tpu.diagnostics import block_window_bounds
 
-    _p, _t, fields, dims = prepare_inputs(dt, state, statics, bg, cfg)
-    _n, n_tab, n_flux_cells, c_pad = dims
-    (dens, r, dr, k, l, m, dm, phi, dkk, dll, area, act) = fields
-    g0c = bg.centers[0].astype(jnp.float32)
-    dz = (bg.centers[1] - bg.centers[0]).astype(jnp.float32)
-    g0f = bg.faces[1].astype(jnp.float32)
-    hi_c = g0c + (n_tab - 1.0) * dz
-    hi_f = g0f + (n_tab - 2.0) * dz
-    nzmax_i = n_flux_cells - 1
-
-    amask = act > 0
-    ff = 2.0 * ROT_EARTH * jnp.sin(phi)
-    kh2 = k * k + l * l
-    k2 = kh2 + m * m
-    om = jnp.sqrt((cfg.bvf * cfg.bvf * kh2 + ff * ff * m * m) / k2)
-    cgr = -m * (om * om - ff * ff) / om / k2
-    r_fin = r + cgr * jnp.float32(dt)
-    nlow = jnp.clip(((r - 0.5 * dr) / dz).astype(jnp.int32), 0, nzmax_i)
-    nup = jnp.clip(((r + 0.5 * dr) / dz + 1.0).astype(jnp.int32), 0, nzmax_i)
-    qf_t = (jnp.clip(r, g0f, hi_f) - g0f) / dz
-    qr_t = (jnp.clip(r_fin, g0c, hi_c) - g0c) / dz
-    lo_t = jnp.minimum(jnp.minimum(jnp.floor(qf_t), jnp.floor(qr_t)) - 1.0,
-                       nlow.astype(jnp.float32))
-    hi_t = jnp.maximum(jnp.maximum(jnp.floor(qf_t), jnp.floor(qr_t)) + 2.0,
-                       nup.astype(jnp.float32))
-    lo_t = jnp.where(amask, lo_t, 1e9)
-    hi_t = jnp.where(amask, hi_t, -1e9)
-    n_blocks = r.shape[0] // SUBLANES
-    lo_b = jnp.min(lo_t.reshape(n_blocks, SUBLANES * LANE), axis=1)
-    hi_b = jnp.max(hi_t.reshape(n_blocks, SUBLANES * LANE), axis=1)
+    lo_b, hi_b, c_pad = block_window_bounds(dt, state, statics, bg, cfg)
     win = jnp.clip((lo_b.astype(jnp.int32) // 8) * 8, 0, 10 ** 9)
     span = hi_b - win.astype(jnp.float32)
     # all-inactive blocks have span -inf-ish; they take the windowed path
