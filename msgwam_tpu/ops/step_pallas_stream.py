@@ -146,19 +146,19 @@ def _kernel(
     # --- ensemble tiling --------------------------------------------------
     # n_members > 1 runs a whole independent-member ensemble in this one
     # launch: the tile range is partitioned contiguously among members
-    # (each member's ray slabs padded to whole tiles host-side), and since
-    # tiles execute strictly sequentially, ONE flux accumulator serves all
-    # members — it is zeroed at each member's first tile and consumed into
-    # that member's wind at its last tile.  Only the wind state (uv_s) and
-    # its RK3 register (quv) carry a member axis, as stacked (E*c_pad, 8)
-    # column blocks.  Members share bg/config (ensemble.py's config-5
-    # contract); per-member state diversity lives in the ray slabs.
+    # (each member's ray slabs padded to whole tiles host-side).  The wind
+    # state (uv_s), its RK3 register (quv), the stage tables, and the flux
+    # accumulator all carry a member axis as stacked (E*c_pad, 8) column
+    # blocks, so ALL per-member stage-boundary work batches into two
+    # kernel bodies per stage — every member's stage table is built at the
+    # stage's first tile (the winds are final from the previous stage) and
+    # every member's flux→wind update runs at the stage's last tile —
+    # instead of 2·E bodies interleaved with the tile stream.  Members
+    # share bg/config (ensemble.py's config-5 contract); per-member state
+    # diversity lives in the ray slabs.
     tpm = n_tiles // n_members
-    me = tl // tpm
-    lt = tl - me * tpm                 # tile index within the member
-    m_first = lt == 0
-    m_last = lt == tpm - 1
-    msl = pl.ds(me * c_pad, c_pad)     # this member's wind column block
+    me = tl // tpm                     # this tile's member index
+    moff = me * c_pad if n_members > 1 else 0   # member's column-block row
 
     # --- double-buffered DMA pipeline -------------------------------------
     # Linear body index g selects the buffer-set parity.  Loads for body g
@@ -248,19 +248,21 @@ def _kernel(
             for e in range(n_members):
                 uv_s[pl.ds(e * c_pad, c_pad), :] = wrow
 
-    # --- per-stage setup (before any tile of this member's stage slice) ----
-    @pl.when(m_first & (st < 3))
+    # --- per-stage setup (once per stage, every member's table) -----------
+    @pl.when((tl == 0) & (st < 3))
     def _():
-        sh_cols = jax.lax.dot_general(
-            maps_ref[0:c_pad, :], uv_s[msl, :],
-            dimension_numbers=((((0,), (0,))), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                   # (c_pad, 8)
-        tabs_m[:, 0:2] = sh_cols[:, 0:2]
-        tabs_m[:, 2:3] = cols_ref[:, 0:1]                   # ρ̄
-        tabs_m[:, 3:8] = jnp.zeros((c_pad, 5), jnp.float32)
-        acc_ref[:] = jnp.zeros((c_pad, 8), jnp.float32)
-        comp_m[:] = jnp.zeros((c_pad, 8), jnp.float32)
+        for e in range(n_members):
+            esl = pl.ds(e * c_pad, c_pad)                   # static offset
+            sh_cols = jax.lax.dot_general(
+                maps_ref[0:c_pad, :], uv_s[esl, :],
+                dimension_numbers=((((0,), (0,))), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (c_pad, 8)
+            tabs_m[esl, 0:2] = sh_cols[:, 0:2]
+            tabs_m[esl, 2:3] = cols_ref[:, 0:1]             # ρ̄
+            tabs_m[esl, 3:8] = jnp.zeros((c_pad, 5), jnp.float32)
+        acc_ref[:] = jnp.zeros((n_members * c_pad, 8), jnp.float32)
+        comp_m[:] = jnp.zeros((n_members * c_pad, 8), jnp.float32)
 
     nzmax_i = n_flux_cells - 1
     hi_c = g0c + (n_tab - 1.0) * dz
@@ -445,7 +447,7 @@ def _kernel(
 
         def _windowed_tier(Wv, winv, col_i, col_f):
             winfv = winv.astype(jnp.float32)
-            tabw = tabs_m[pl.ds(winv, Wv), :]               # (Wv, 8)
+            tabw = tabs_m[pl.ds(moff + winv, Wv), :]        # (Wv, 8)
             tab_duv = tabw[:, 0:2]
             tab_rho = tabw[:, 2:3]
             gflo = g0c + (winfv + col_f) * dz
@@ -500,7 +502,7 @@ def _kernel(
             dens_st, drr_st, dmm_st = finish(du_rows, dv_rows, rho_rows)
             _post_stage(dens_st, drr_st, dmm_st)
             if not ablate:
-                kahan_acc(tile_acc, pl.ds(winv, Wv))
+                kahan_acc(tile_acc, pl.ds(moff + winv, Wv))
 
         @pl.when(ok)
         def _windowed():
@@ -516,7 +518,7 @@ def _kernel(
             tab_rows = dot(
                 jnp.concatenate([jnp.eye(3, dtype=jnp.float32),
                                  jnp.zeros((3, 5), jnp.float32)], axis=1),
-                tabs_m[:], ((1,), (1,)),
+                tabs_m[pl.ds(moff, c_pad), :], ((1,), (1,)),
             )                                               # (3, c_pad)
             shear_rows = tab_rows[0:2, :]
             rho_row = tab_rows[2:3, :]
@@ -563,24 +565,36 @@ def _kernel(
             dens_st, drr_st, dmm_st = finish(du_rows, dv_rows, rho_rows)
             _post_stage(dens_st, drr_st, dmm_st)
             if not ablate:
-                kahan_acc(tile_acc, pl.ds(0, c_pad))
+                kahan_acc(tile_acc, pl.ds(moff, c_pad))
 
-        # --- stage completion: flux -> wind (member's last tile) -----------
-        @pl.when(m_last)
+        # --- stage completion: flux -> wind (stage's last tile; all
+        # members batched — only the per-member gradient contraction is a
+        # loop, the RK3 wind update runs elementwise over the stacked
+        # (E*c_pad, 8) blocks in one go) --------------------------------
+        @pl.when(tl == n_tiles - 1)
         def _():
             if prognostic:
-                grad = jax.lax.dot_general(
-                    maps_ref[c_pad:2 * c_pad, :], acc_ref[:],
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )                                           # (c_pad, 8)
-                uvT = uv_s[msl, :]
+                grads = [
+                    jax.lax.dot_general(
+                        maps_ref[c_pad:2 * c_pad, :],
+                        acc_ref[pl.ds(e * c_pad, c_pad), :],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )                                       # (c_pad, 8)
+                    for e in range(n_members)
+                ]
+                grad = grads[0] if n_members == 1 \
+                    else jnp.concatenate(grads, axis=0)     # (E*c_pad, 8)
+                cols_t = cols_ref[:] if n_members == 1 else jnp.concatenate(
+                    [cols_ref[:]] * n_members, axis=0)
+                uvT = uv_s[:]
                 du_col = f0 * uvT[:, 1:2] \
-                    - (cols_ref[:, 1:2] + grad[:, 0:1]) * cols_ref[:, 3:4]
+                    - (cols_t[:, 1:2] + grad[:, 0:1]) * cols_t[:, 3:4]
                 dv_col = -f0 * uvT[:, 0:1] \
-                    - (cols_ref[:, 2:3] + grad[:, 1:2]) * cols_ref[:, 3:4]
+                    - (cols_t[:, 2:3] + grad[:, 1:2]) * cols_t[:, 3:4]
                 duv = jnp.concatenate(
-                    [du_col, dv_col, jnp.zeros((c_pad, 6), jnp.float32)],
+                    [du_col, dv_col,
+                     jnp.zeros((n_members * c_pad, 6), jnp.float32)],
                     axis=1)
                 first = st == 0
                 c_coef = jnp.where(st == 1, 5.0 / 9.0,
@@ -588,11 +602,11 @@ def _kernel(
                 b_coef = jnp.where(st == 1, 15.0 / 16.0,
                                    jnp.where(st == 2, 8.0 / 15.0, 1.0))
                 q_new = jnp.where(first, dt * duv,
-                                  dt * duv - c_coef * quv[msl, :])
-                uv_s[msl, :] = jnp.where(first, uvT + q_new / 3.0,
-                                         uvT + b_coef * q_new)
-                quv[msl, :] = q_new
-            uv_o[msl, :] = uv_s[msl, :]
+                                  dt * duv - c_coef * quv[:])
+                uv_s[:] = jnp.where(first, uvT + q_new / 3.0,
+                                    uvT + b_coef * q_new)
+                quv[:] = q_new
+            uv_o[:] = uv_s[:]
 
     def _offline_saturation_tile():
         # driver-side direct saturation with FD rates across the completed
@@ -625,7 +639,7 @@ def _kernel(
 
         @pl.when(ok)
         def _win():
-            tab_rho = tabs_m[pl.ds(win, W), 2:3]
+            tab_rho = tabs_m[pl.ds(moff + win, W), 2:3]
             qr_w = qr_t - winf
             rows = []
             for j in range(T):
@@ -640,7 +654,7 @@ def _kernel(
                 jnp.concatenate([jnp.zeros((1, 2), jnp.float32),
                                  jnp.ones((1, 1), jnp.float32),
                                  jnp.zeros((1, 5), jnp.float32)], axis=1),
-                tabs_m[:],
+                tabs_m[pl.ds(moff, c_pad), :],
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )                                      # (1, c_pad)
@@ -799,9 +813,12 @@ def _streamkernel_call(
                for _ in range(n_arr)]        # out-buffers (2 sets)
             + [
                 pltpu.VMEM((t_rows, LANE), jnp.float32),  # pp buffer
-                pltpu.VMEM((c_pad, 8), jnp.float32),   # stage tables
-                pltpu.VMEM((c_pad, 8), jnp.float32),   # flux accumulator
-                pltpu.VMEM((c_pad, 8), jnp.float32),   # Kahan compensation
+                pltpu.VMEM((n_members * c_pad, 8),
+                           jnp.float32),              # stage tables
+                pltpu.VMEM((n_members * c_pad, 8),
+                           jnp.float32),              # flux accumulator
+                pltpu.VMEM((n_members * c_pad, 8),
+                           jnp.float32),              # Kahan compensation
                 pltpu.VMEM((n_members * c_pad, 8), jnp.float32),  # q_uv
                 pltpu.VMEM((n_members * c_pad, 8), jnp.float32),  # wind
                 pltpu.SemaphoreType.DMA((2, n_arr)),   # load semaphores
