@@ -485,3 +485,33 @@ def test_streaming_ensemble_prescribed_wind_matches_per_member():
         assert _rel(f1.rays.dens, fin.rays.dens[e]) < 1e-5
         assert _rel(f1.rays.m, fin.rays.m[e]) < 1e-5
         assert _rel(f1.mean.u, fin.mean.u[e]) < 1e-5
+
+def test_streaming_ensemble_one_tile_per_member():
+    """Adversarial shape for the batched stage boundaries: each member's
+    slab is exactly ONE tile (tpm=1), so the member index changes at
+    every tile and the stage's first/last tiles carry ALL members' table
+    builds and flux->wind updates.  Every member must still evolve as its
+    own single-member streaming run (ops/step_pallas_stream.py's
+    member-axis stage tables / accumulator)."""
+    from msgwam_tpu.ops.step_pallas_stream import (
+        simulate_streaming, simulate_streaming_ensemble)
+    from msgwam_tpu.parallel import stack_ensemble
+
+    E = 3
+    members = []
+    for e in range(E):
+        cfg, bg, state, statics = _setup(n=8000, pad_to=8192,
+                                         amp=0.003 * (1 + 0.3 * e))
+        members.append((state, statics))
+    bstates, bstatics = stack_ensemble(members)
+    run = mt.RunConfig(dt=120.0, n_steps=4, save_every=4)
+
+    fin, _, mh = simulate_streaming_ensemble(bstates, bstatics, bg, cfg, run)
+    assert mh.u.shape == (1, E, members[0][0].mean.u.shape[0])
+    for e in range(E):
+        s1, st1 = members[e]
+        f1, _, _ = simulate_streaming(s1, st1, bg, cfg, run)
+        assert _rel(f1.rays.dens, fin.rays.dens[e]) < 1e-5
+        assert _rel(f1.rays.r, fin.rays.r[e]) < 1e-5
+        assert _rel(f1.rays.m, fin.rays.m[e]) < 1e-5
+        assert _rel(f1.mean.u, fin.mean.u[e]) < 1e-5
