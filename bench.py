@@ -144,7 +144,7 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         + ("+sharded" if sharded else "") \
         + (f"+w1={w1}" if w1 else "") + (f"+w2={w2}" if w2 else "")
     result = {
-        "metric": f"ray-volume steps/sec/chip at {n_ray:.0e} rays "
+        "metric": f"ray-volume steps/sec/chip at {n_ray:,} rays "
                   f"(coupled, online saturation, f32, {label})",
         "value": round(ray_steps_per_sec, 1),
         "unit": "ray-steps/s",
@@ -170,9 +170,10 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
 
 def run_matrix(n_steps: int = N_STEPS) -> list:
     """Multi-size, multi-backend matrix (VERDICT r2 #8): the metric of
-    record (1e5), the north-star operating point (1e6), and the VMEM
-    capacity boundary (131072), each through its champion backends, with
-    window-fallback observability where it applies."""
+    record (1e5), the north-star operating point (1e6), the VMEM
+    capacity boundary (131072), and the 1e7 scale headline, each through
+    its champion backends, with window-fallback observability where it
+    applies."""
     rows = []
     for n_ray, backend, steps in [
         (100_000, "mega", n_steps),      # metric of record, VMEM-resident
@@ -181,6 +182,7 @@ def run_matrix(n_steps: int = N_STEPS) -> list:
         (1_000_000, "mega", N_STEPS_BIG),    # north star, HBM-streaming
         (1_000_000, "pallasw", N_STEPS_BIG),
         (1_000_000, "mxu", N_STEPS_BIG),
+        (10_000_000, "mega", N_STEPS_BIG),   # scale headline, 256-row tiles
     ]:
         rows.append(run_one(n_ray, steps, backend, fallback=True))
         print(json.dumps(rows[-1]), flush=True)

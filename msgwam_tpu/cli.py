@@ -347,9 +347,10 @@ def main(argv=None):
                            "windowed = fused kernel with adaptive per-block "
                            "height windows; mega = whole-run megakernel "
                            "(VMEM-resident <= 131072 f32 rays, "
-                           "HBM-streaming above — fastest at every size; "
-                           "falls back to windowed for f64/hprop/cull; "
-                           "benchmarks/RESULTS.md)")
+                           "HBM-streaming above, in-kernel cull/relaunch — "
+                           "fastest at every size; falls back to windowed "
+                           "for f64/hprop/lifecycle-with-offline-"
+                           "saturation; benchmarks/RESULTS.md)")
     sub.add_parser("bench", help="run the metric-of-record benchmark")
     args = ap.parse_args(argv)
 
