@@ -127,12 +127,24 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
     out = step_fn(state, statics)  # compile + warm-up
     jax.block_until_ready(out)
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = step_fn(state, statics)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
+    def _time_reps():
+        b = float("inf")
+        o = out
+        for _ in range(3):
+            t0 = time.perf_counter()
+            o = step_fn(state, statics)
+            jax.block_until_ready(o)
+            b = min(b, time.perf_counter() - t0)
+        return b, o
+
+    best, out = _time_reps()
+    if n_ray * n_steps / best > 1e11:
+        # tunneled-TPU relay flake: a rep returned ~instantly once (a 1e6
+        # mxu row measured 2.9e12 ray-steps/s, 6000x its two neighboring
+        # runs); no real backend is within 30x of 1e10, so re-time once
+        print(f"implausible timing ({best:.2e}s for {n_steps} steps); "
+              "re-timing", file=sys.stderr)
+        best, out = _time_reps()
 
     final_state = out[0]
     assert bool(jnp.all(jnp.isfinite(final_state.mean.u))), "wind blew up"
