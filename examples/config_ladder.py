@@ -105,7 +105,10 @@ def config_2_coupled():
 
 
 def config_5_ensemble():
-    """Stochastic-source ensemble, vmapped members (sharded if >1 device)."""
+    """Stochastic-source ensemble.  On TPU the whole ensemble runs as ONE
+    streaming-megakernel launch (``backend="mega"`` — members partitioned
+    over the kernel's tile range, benchmarks/RESULTS.md); elsewhere the
+    vmapped scan path (sharded over members if >1 device)."""
     from msgwam_tpu.parallel.ensemble import ensemble_simulate, stack_ensemble
 
     cfg = mt.REFERENCE_RUN_CONFIG.replace(
@@ -134,11 +137,14 @@ def config_5_ensemble():
     if len(jax.devices()) > 1:
         from msgwam_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(axis="ensemble")
-    finals, _, _ = ensemble_simulate(states, statics, bg, cfg, run, mesh=mesh)
+    backend = "mega" if jax.default_backend() == "tpu" else "scan"
+    finals, _, _ = ensemble_simulate(states, statics, bg, cfg, run,
+                                     mesh=mesh, backend=backend)
     du = np.asarray(finals.mean.u) - uu[None, :]
     spread = du.max(axis=0) - du.min(axis=0)
-    print(f"[config 5] ensemble of {n_members}: member wind-response spread "
-          f"max {spread.max():.4f} m/s (devices: {len(jax.devices())})")
+    print(f"[config 5] ensemble of {n_members} ({backend} backend): member "
+          f"wind-response spread max {spread.max():.4f} m/s "
+          f"(devices: {len(jax.devices())})")
     return du
 
 
