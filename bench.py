@@ -138,6 +138,7 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         return b, o
 
     best, out = _time_reps()
+    retimed = False
     if n_ray * n_steps / best > 1e11:
         # tunneled-TPU relay flake: a rep returned ~instantly once (a 1e6
         # mxu row measured 2.9e12 ray-steps/s, 6000x its two neighboring
@@ -145,6 +146,7 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         print(f"implausible timing ({best:.2e}s for {n_steps} steps); "
               "re-timing", file=sys.stderr)
         best, out = _time_reps()
+        retimed = True
 
     final_state = out[0]
     assert bool(jnp.all(jnp.isfinite(final_state.mean.u))), "wind blew up"
@@ -162,6 +164,12 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         "unit": "ray-steps/s",
         "vs_baseline": round(ray_steps_per_sec / BASELINE_RAY_STEPS_PER_SEC, 1),
     }
+    if retimed:
+        # a relay flake triggered a re-time; if even the second pass is
+        # implausible, say so in the artifact instead of reporting it as real
+        result["retimed"] = True
+        if ray_steps_per_sec > 1e11:
+            result["suspect_timing"] = True
     if fallback and backend in ("pallasw", "mega") and not sharded:
         # window-coherence observability: what fraction of 8192-ray blocks
         # would run the exact full-width path at the END of this run (the

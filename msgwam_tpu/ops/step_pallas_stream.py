@@ -1121,10 +1121,12 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
     (the :func:`msgwam_tpu.parallel.stack_ensemble` layout); members share
     ``bg``/``cfg``.  Each member's ray slabs are padded to whole tiles and
     concatenated, the tile range is partitioned contiguously among members
-    inside the kernel, and only the wind state and its RK3 register carry
-    a member axis (stacked ``(E*c_pad, 8)`` column blocks) — the flux
-    accumulator is shared because tiles execute strictly sequentially
-    (see ``_kernel``'s ensemble-tiling note).  This replaces
+    inside the kernel, and every grid-axis array — the wind state, its
+    RK3 register, the per-stage tables, and the Kahan-compensated flux
+    accumulator — carries a member axis (stacked ``(E*c_pad, 8)`` column
+    blocks), so all per-member stage-boundary work batches into the
+    stage's first/last tiles (see ``_kernel``'s ensemble-tiling note).
+    This replaces
     ``ensemble_simulate(..., sequential=True)``'s E separate
     per-member launches (and their per-launch dispatch cost) with one
     launch at full streaming-kernel throughput.

@@ -14,11 +14,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_disable_hlo_passes=while_loop_unroller"
-).strip()
 
+# XLA_FLAGS (while-loop-unroller off) is set by the imported module before
+# it initializes jax
 from tools.resident_tile_sweep import measure  # noqa: E402
 
 if __name__ == "__main__":
