@@ -922,17 +922,20 @@ def _frozen_fields(rays, statics, shape2):
     )
 
 
-def _auto_tile_rows(n: int) -> int:
+def _auto_tile_rows(n: int, lifecycle: bool = False) -> int:
     """Streamed-tile height by problem size (tools/tile_sweep.py sweep):
     per-tile fixed costs (DMA/semaphore ops, window-bound reductions,
     stage-table reads) amortize with larger tiles, while window quality
     (a merged tile's union span widens) and double-buffer VMEM push back.
-    Measured champions: 64 below ~5e5 rays, 128 at 1e6 (1.52→1.76e9
-    ray-steps/s), 256 at 1e7 (1.72→2.26e9)."""
+    Measured champions: 64 below ~5e5 rays, 192 at 1e6 (1.76→1.81e9
+    ray-steps/s over 128, interleaved-rep confirmed), 256 at 1e7
+    (1.72→2.26e9; 384 is noise-level, 512 fails to compile).  With the
+    in-kernel lifecycle the extra act slab + stage-3 work tip the 1e6
+    band back to 128 (1.62e9 vs 1.56e9 at 192)."""
     if n >= 4_000_000:
         return 256
     if n >= 500_000:
-        return 128
+        return 128 if lifecycle else 192
     return TILE_ROWS
 
 
@@ -985,7 +988,7 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
     rays, mean = state.rays, state.mean
     n = rays.r.shape[0]
     if tile_rows <= 0:
-        tile_rows = _auto_tile_rows(n)
+        tile_rows = _auto_tile_rows(n, lifecycle=cfg.cull or cfg.relaunch)
     params, n_tab, n_flux_cells, c_pad, w_cells, w2_cells = \
         _grid_params(bg, cfg, run)
     maps, cols = build_operators(bg, cfg, n_tab, c_pad)
@@ -1172,9 +1175,9 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
 
     E, n = rays.r.shape
     if tile_rows <= 0:
-        tile_rows = _auto_tile_rows(n)   # per-member size: members pad
-        # to tile multiples, so the per-tile amortization argument is
-        # per-member (tools/tile_sweep.py)
+        # per-member size: members pad to tile multiples, so the per-tile
+        # amortization argument is per-member (tools/tile_sweep.py)
+        tile_rows = _auto_tile_rows(n, lifecycle=cfg.cull or cfg.relaunch)
     params, n_tab, n_flux_cells, c_pad, w_cells, w2_cells = \
         _grid_params(bg, cfg, run)
     maps, cols = build_operators(bg, cfg, n_tab, c_pad)
