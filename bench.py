@@ -181,7 +181,14 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
             rhs_backend="pallas", window_cells=mt.ModelConfig().window_cells)
         # (wcfg inherits window_cells2 from cfg, so the full_rate below
         # reflects the tier actually benchmarked)
-        s = window_fallback_stats(DT, out[0], out[1], bg, wcfg)
+        block_rows = 0
+        if backend == "mega" and n_ray > 131_072:
+            # the streaming kernel auto-scales its tile height; mirror it
+            from msgwam_tpu.ops.step_pallas_stream import _auto_tile_rows
+
+            block_rows = _auto_tile_rows(n_ray)
+        s = window_fallback_stats(DT, out[0], out[1], bg, wcfg,
+                                  block_rows=block_rows)
         result["fallback_rate_end"] = round(float(s.fallback_rate), 4)
         if wcfg.window_cells2:
             result["full_rate_end"] = round(float(s.full_rate), 4)
@@ -195,14 +202,17 @@ def run_matrix(n_steps: int = N_STEPS) -> list:
     its champion backends, with window-fallback observability where it
     applies."""
     rows = []
+    # >=1e6 rows use the shorter launch (dispatch cost is <3.5% there);
+    # scale it with --steps so smoke invocations stay small everywhere
+    big = max(1, round(N_STEPS_BIG * n_steps / N_STEPS))
     for n_ray, backend, steps in [
         (100_000, "mega", n_steps),      # metric of record, VMEM-resident
         (100_000, "pallasw", n_steps),
         (131_072, "mega", n_steps),      # resident-kernel capacity point
-        (1_000_000, "mega", N_STEPS_BIG),    # north star, HBM-streaming
-        (1_000_000, "pallasw", N_STEPS_BIG),
-        (1_000_000, "mxu", N_STEPS_BIG),
-        (10_000_000, "mega", N_STEPS_BIG),   # scale headline, 256-row tiles
+        (1_000_000, "mega", big),        # north star, HBM-streaming
+        (1_000_000, "pallasw", big),
+        (1_000_000, "mxu", big),
+        (10_000_000, "mega", big),       # scale headline, 256-row tiles
     ]:
         rows.append(run_one(n_ray, steps, backend, fallback=True))
         print(json.dumps(rows[-1]), flush=True)

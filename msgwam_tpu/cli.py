@@ -84,28 +84,43 @@ def _load_config(args) -> dict:
         while args.steps % cap:
             cap -= 1
         spec["run"]["save_every"] = cap
-    kernels = getattr(args, "kernels", None)
+    # --kernels from the command line, else "kernels" from the config
+    # file — both must install the matching model-backend settings, or
+    # run_experiment's mega dispatch would see the name without the
+    # backends (and a file-specified "windowed" would be ignored).  A
+    # command-line choice overrides the preset/file model block; a
+    # file-level "kernels" only fills backends the file left unset.
+    from_args = getattr(args, "kernels", None)
+    kernels = from_args or spec.get("kernels")
     if kernels:
         model = spec.setdefault("model", {})
         if kernels == "xla":
-            model.update(projection_backend="xla", interp_backend="gather",
-                         rhs_backend="xla", window_cells=0)
+            override = dict(projection_backend="xla",
+                            interp_backend="gather",
+                            rhs_backend="xla", window_cells=0)
         elif kernels == "mxu":
-            model.update(projection_backend="mxu", interp_backend="mxu",
-                         rhs_backend="xla", window_cells=0)
+            override = dict(projection_backend="mxu", interp_backend="mxu",
+                            rhs_backend="xla", window_cells=0)
         elif kernels == "pallas":
-            model.update(projection_backend="mxu", interp_backend="mxu",
-                         rhs_backend="pallas", window_cells=0)
+            override = dict(projection_backend="mxu", interp_backend="mxu",
+                            rhs_backend="pallas", window_cells=0)
         elif kernels in ("windowed", "mega"):
             # window width: one source of truth — the ModelConfig default
             # (W=16, measured fastest); "mega" keeps the windowed settings
             # so its capacity/dtype fallback path is the 1e6 champion
-            model.update(projection_backend="mxu", interp_backend="mxu",
-                         rhs_backend="pallas")
-            if not model.get("window_cells"):
-                from .config import ModelConfig
+            from .config import ModelConfig
 
-                model["window_cells"] = ModelConfig().window_cells
+            override = dict(projection_backend="mxu", interp_backend="mxu",
+                            rhs_backend="pallas")
+            if not model.get("window_cells"):
+                override["window_cells"] = ModelConfig().window_cells
+        else:
+            raise ValueError(f"unknown kernels choice {kernels!r}")
+        if from_args:
+            model.update(override)
+        else:
+            for key, val in override.items():
+                model.setdefault(key, val)
         spec["kernels"] = kernels
     w2 = getattr(args, "window2", None)
     if w2 is not None:

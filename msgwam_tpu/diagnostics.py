@@ -214,8 +214,12 @@ def block_window_bounds(dt, state, statics, bg: Background,
     ff = 2.0 * ROT_EARTH * jnp.sin(phi)
     kh2 = k * k + l * l
     k2 = kh2 + m * m
-    om = jnp.sqrt((cfg.bvf * cfg.bvf * kh2 + ff * ff * m * m) / k2)
-    cgr = -m * (om * om - ff * ff) / om / k2
+    # the kernels' exact reciprocal+rsqrt factoring (strength-reduced
+    # dispersion, ops/step_pallas_stream.py) — a sqrt/divide form differs
+    # in the last ulps and can flip a block sitting exactly on the
+    # win+W boundary
+    om2 = (cfg.bvf * cfg.bvf * kh2 + ff * ff * m * m) * (1.0 / k2)
+    cgr = -m * (om2 - ff * ff) * jax.lax.rsqrt(om2) * (1.0 / k2)
     r_fin = r + cgr * jnp.float32(dt)
 
     nlow = jnp.clip(((r - 0.5 * dr) * idz).astype(jnp.int32), 0, nzmax_i)
@@ -232,6 +236,16 @@ def block_window_bounds(dt, state, statics, bg: Background,
     n_rows = r.shape[0]
     if block_rows <= 0:
         block_rows = SUBLANES if n_rows % SUBLANES == 0 else 8
+    rem = n_rows % block_rows
+    if rem:
+        # the streaming driver pads ray slabs to whole tiles host-side;
+        # mirror that with empty-span rows (inactive slots)
+        padn = block_rows - rem
+        lo_t = jnp.concatenate(
+            [lo_t, jnp.full((padn, LANE), 1e9, lo_t.dtype)])
+        hi_t = jnp.concatenate(
+            [hi_t, jnp.full((padn, LANE), -1e9, hi_t.dtype)])
+        n_rows += padn
     n_blocks = n_rows // block_rows
     lo_b = jnp.min(lo_t.reshape(n_blocks, block_rows * LANE), axis=1)
     hi_b = jnp.max(hi_t.reshape(n_blocks, block_rows * LANE), axis=1)
@@ -249,8 +263,10 @@ def window_fallback_stats(dt, state, statics, bg: Background,
     (8192 rays per block at the default 64).  0 picks the resident
     kernel's rule: 64 when the padded buffer divides evenly, else 8
     (``ops/step_pallas.py`` tile selection); the scan-path windowed
-    kernel and the streaming kernel always use 64-row tiles at their
-    padded sizes, which that rule also yields.
+    kernel uses 64-row tiles, which that rule also yields.  The
+    STREAMING kernel auto-scales its tile height by problem size
+    (``ops/step_pallas_stream._auto_tile_rows`` — 128-256 rows at >=5e5
+    rays), so pass that height explicitly to mirror it.
 
     The windowed kernels silently stay exact when a block's touched-cell
     span outgrows ``W`` — correct, but a decohered buffer then quietly
@@ -264,19 +280,17 @@ def window_fallback_stats(dt, state, statics, bg: Background,
     Used by the coherence stress test (tests/test_windowed.py) and
     reported by ``bench.py --fallback``.
     """
-    from .ops.rhs_pallas import _ceil_to
+    from .ops.rhs_pallas import resolve_window_cells
 
     lo_b, hi_b, c_pad = block_window_bounds(dt, state, statics, bg, cfg,
                                             block_rows=block_rows)
     n_blocks = lo_b.shape[0]
-    W = min(_ceil_to(max(cfg.window_cells, 16), 8), c_pad)
+    W, W2 = resolve_window_cells(cfg, c_pad)
     lo8 = (lo_b.astype(jnp.int32) // 8) * 8
     win = jnp.clip(lo8, 0, c_pad - W)
     ok = hi_b - win.astype(jnp.float32) <= W
 
     n_fb = jnp.sum(~ok)
-    W2 = (min(_ceil_to(cfg.window_cells2, 8), c_pad - 8)
-          if cfg.window_cells2 > 0 else 0)
     if W2 > W:
         win2 = jnp.clip(lo8, 0, c_pad - W2)
         full = (~ok) & (hi_b - win2.astype(jnp.float32) > W2)

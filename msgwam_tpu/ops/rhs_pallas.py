@@ -78,6 +78,22 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def resolve_window_cells(cfg, c_pad: int) -> tuple:
+    """Single source of truth for the two window-tier widths used by every
+    windowed kernel (adaptive scan, resident megakernel, streaming
+    megakernel) and by the fallback diagnostics mirror
+    (``diagnostics.window_fallback_stats``): the first tier has a floor of
+    16 cells, both tiers round up to a multiple of 8 and are capped by the
+    padded column count, and the second tier is disabled unless strictly
+    wider than the first."""
+    w1 = min(_ceil_to(max(cfg.window_cells, 16), 8), c_pad)
+    w2 = (min(_ceil_to(cfg.window_cells2, 8), c_pad - 8)
+          if cfg.window_cells2 > 0 else 0)
+    if w2 <= w1:
+        w2 = 0
+    return w1, w2
+
+
 # scalar-parameter slots (float32 SMEM)
 _G0C, _DZ, _G0F, _DT, _BVF, _KAPPA, _F0, _NPARAM = range(8)
 

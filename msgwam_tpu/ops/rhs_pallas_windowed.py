@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import ROT_EARTH
 from .rhs_pallas import (
-    LANE, SUBLANES, _ceil_to, prepare_inputs,
+    LANE, SUBLANES, _ceil_to, prepare_inputs, resolve_window_cells,
     _G0C, _DZ, _G0F, _DT, _BVF, _KAPPA, _F0,
 )
 
@@ -439,11 +439,7 @@ def rk3_step_fused_windowed(dt, state, statics, bg, cfg, axis_name=None):
 
     params8, _t, fields, dims = prepare_inputs(dt, state, statics, bg, cfg)
     n, n_tab, n_flux_cells, c_pad = dims
-    w_cells = min(_ceil_to(max(cfg.window_cells, 16), 8), c_pad)
-    w2_cells = (min(_ceil_to(cfg.window_cells2, 8), c_pad - 8)
-                if cfg.window_cells2 > 0 else 0)
-    if w2_cells <= w_cells:
-        w2_cells = 0
+    w_cells, w2_cells = resolve_window_cells(cfg, c_pad)
     interpret = jax.default_backend() != "tpu"
 
     f = list(_derived_fields(fields))
@@ -544,11 +540,7 @@ def rhs_fused_windowed(dt, state, statics, bg, cfg):
         + [jnp.zeros((c_pad,), jnp.float32)] * 5, axis=1,
     )                                               # (c_pad, 8)
 
-    w_cells = min(_ceil_to(max(cfg.window_cells, 16), 8), c_pad)
-    w2_cells = (min(_ceil_to(cfg.window_cells2, 8), c_pad - 8)
-                if cfg.window_cells2 > 0 else 0)
-    if w2_cells <= w_cells:
-        w2_cells = 0
+    w_cells, w2_cells = resolve_window_cells(cfg, c_pad)
     interpret = jax.default_backend() != "tpu"
     dens_st, drr_st, dmm_st, fluxT = _rhs_adaptive_call(
         params, tabs, *_derived_fields(fields),

@@ -801,12 +801,9 @@ def _simulate_resident_impl(state, statics, bg, cfg, run,
 
     interpret = jax.default_backend() != "tpu"
     unshape = lambda x: x.reshape(-1)[:n]
-    w_cells = (min(_ceil_to(max(cfg.window_cells, WIN), 8), c_pad)
-               if cfg.window_cells > 0 else WIN)
-    w2_cells = (min(_ceil_to(cfg.window_cells2, 8), c_pad - 8)
-                if cfg.window_cells2 > 0 else 0)
-    if w2_cells <= w_cells:
-        w2_cells = 0                   # tier must be strictly wider
+    from .rhs_pallas import resolve_window_cells
+
+    w_cells, w2_cells = resolve_window_cells(cfg, c_pad)
 
     def chunk(carry, _):
         dens, r, m, uvT = carry

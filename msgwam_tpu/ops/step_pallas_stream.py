@@ -71,7 +71,6 @@ from ..constants import ROT_EARTH
 
 LANE = 128
 TILE_ROWS = 64            # 8192 rays per streamed tile
-WIN = 16                  # default per-tile window cells (8-aligned)
 
 (_G0C, _DZ, _G0F, _DT, _BVF, _KAPPA, _F0, _RDIV,
  _MMAX, _FLO, _FHI) = range(11)
@@ -891,12 +890,9 @@ def _grid_params(bg, cfg, run):
         np.float32(cfg.m_max), np.float32(faces_np[0]),
         np.float32(faces_np[-1]),
     ], dtype=np.float32))
-    w_cells = min(_ceil_to(max(cfg.window_cells, WIN), 8), c_pad) \
-        if cfg.window_cells > 0 else WIN
-    w2_cells = min(_ceil_to(cfg.window_cells2, 8), c_pad - 8) \
-        if cfg.window_cells2 > 0 else 0
-    if w2_cells <= w_cells:
-        w2_cells = 0                   # tier must be strictly wider
+    from .rhs_pallas import resolve_window_cells
+
+    w_cells, w2_cells = resolve_window_cells(cfg, c_pad)
     return params, n_tab, n_flux_cells, c_pad, w_cells, w2_cells
 
 
@@ -920,6 +916,22 @@ def _frozen_fields(rays, statics, shape2):
         dkkf * dllf * areaf,                              # pvb
         shape2(statics.active.astype(jnp.float32), fill=0.0),
     )
+
+
+def _wind_table(wind_fn, t0, ci, S, dt_f, n_tab, c_pad):
+    """One (2, c_pad) imposed-wind row per in-kernel step, evaluated on
+    the host graph exactly as the scan body does at the top of each step
+    (models/integrate.py:370-377) — including its broadcast of scalar or
+    rank-0 wind_fn returns to the full mean-wind column."""
+    ts = (jnp.float32(t0)
+          + (ci * S + jnp.arange(S)).astype(jnp.float32) * dt_f)
+    uu, vv = jax.vmap(
+        lambda t: tuple(jnp.broadcast_to(w, (n_tab,))
+                        for w in wind_fn(t)))(ts)
+    wt = jnp.zeros((S, 2, c_pad), jnp.float32)
+    wt = wt.at[:, 0, :n_tab].set(uu.astype(jnp.float32))
+    wt = wt.at[:, 1, :n_tab].set(vv.astype(jnp.float32))
+    return wt
 
 
 def _auto_tile_rows(n: int, lifecycle: bool = False) -> int:
@@ -1032,18 +1044,8 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
     def chunk(carry, ci):
         dens, r, m, uvT = carry[:4]
         act_c = carry[4] if do_cull else None
-        if wind_fn is not None:
-            # one (2, c_pad) wind row per in-kernel step, evaluated on the
-            # host graph exactly as the scan body does at the top of each
-            # step (models/integrate.py:370-377)
-            ts = (jnp.float32(t0)
-                  + (ci * S + jnp.arange(S)).astype(jnp.float32) * dt_f)
-            uu, vv = jax.vmap(wind_fn)(ts)
-            wt = jnp.zeros((S, 2, c_pad), jnp.float32)
-            wt = wt.at[:, 0, :uu.shape[1]].set(uu.astype(jnp.float32))
-            wt = wt.at[:, 1, :vv.shape[1]].set(vv.astype(jnp.float32))
-        else:
-            wt = None
+        wt = None if wind_fn is None else \
+            _wind_table(wind_fn, t0, ci, S, dt_f, n_tab, c_pad)
         outs = _streamkernel_call(
             params, maps, cols, uvT, *statics_fields,
             dens, r, m,
@@ -1219,17 +1221,9 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
     def chunk(carry, ci):
         dens, r, m, uvT = carry[:4]
         act_c = carry[4] if do_cull else None
-        if wind_fn is not None:
-            # one (2, c_pad) wind row per in-kernel step, shared by all
-            # members (models/integrate.py:370-377 semantics)
-            ts = (jnp.float32(t0)
-                  + (ci * S + jnp.arange(S)).astype(jnp.float32) * dt_f)
-            wu, wv = jax.vmap(wind_fn)(ts)
-            wt = jnp.zeros((S, 2, c_pad), jnp.float32)
-            wt = wt.at[:, 0, :wu.shape[1]].set(wu.astype(jnp.float32))
-            wt = wt.at[:, 1, :wv.shape[1]].set(wv.astype(jnp.float32))
-        else:
-            wt = None
+        # wind rows are member-SHARED (models/integrate.py:370-377 semantics)
+        wt = None if wind_fn is None else \
+            _wind_table(wind_fn, t0, ci, S, dt_f, n_tab, c_pad)
         outs = _streamkernel_call(
             params, maps, cols, uvT, *statics_fields,
             dens, r, m,

@@ -204,11 +204,16 @@ def build_ensemble_fn(
     """Build (and cache) the jitted ensemble runner
     ``f(states, statics[, sources], bg) -> (final, statics, history)``.
 
-    Cached on (cfg, run, mesh, observe, axis, sequential, with_source), so
-    repeated calls — and :func:`ensemble_simulate` — reuse the compiled
-    program.  ``observe`` must be hashable (a top-level function) to hit
-    the cache.  ``with_source=True`` adds a stacked per-member relaunch
-    template argument, mapped member-wise into ``simulate(source=...)``.
+    Cached on (cfg, run, mesh, observe, axis, sequential, with_source,
+    wind_fn, t0), so repeated calls — and :func:`ensemble_simulate` —
+    reuse the compiled program.  ``observe`` AND ``wind_fn`` must be the
+    SAME callable object across calls (top-level functions, not inline
+    lambdas) to hit the cache — a fresh lambda per call is a cache miss
+    and a full recompile; close sweep parameters over a single top-level
+    def, or pass them through ``functools.partial`` of one shared
+    function object reused across the sweep.  ``with_source=True`` adds a
+    stacked per-member relaunch template argument, mapped member-wise
+    into ``simulate(source=...)``.
     """
     obs = observe or _default_observe
     if with_source:

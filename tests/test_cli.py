@@ -140,3 +140,45 @@ def test_kernels_mega_lifecycle(tmp_path):
     assert "falling back" not in r.stdout
     d = np.load(out / "diagnostics.npz")
     assert np.all(np.isfinite(d["wave_action"]))
+
+def test_kernels_in_config_file_installs_backends():
+    """A config FILE specifying "kernels" must get the same model-backend
+    overrides as the --kernels flag (it used to be read by run_experiment
+    but ignored by _load_config, so a file-level "mega" silently ran the
+    default scan backends)."""
+    import argparse
+    import json as _json
+    from msgwam_tpu.cli import _load_config
+
+    def load(spec_dict, **args):
+        import tempfile, os
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as f:
+            _json.dump(spec_dict, f)
+            p = f.name
+        try:
+            ns = argparse.Namespace(config=p, preset="reference",
+                                    steps=None, **args)
+            return _load_config(ns)
+        finally:
+            os.unlink(p)
+
+    base = {"model": {}, "grid": {}, "run": {"dt": 120.0, "n_steps": 4,
+                                             "save_every": 4},
+            "source": {"kind": "gaussian_spectrum", "n_ray": 64},
+            "dtype": "float32"}
+
+    spec = load({**base, "kernels": "mega"})
+    assert spec["model"]["rhs_backend"] == "pallas"
+    assert spec["model"]["projection_backend"] == "mxu"
+    assert spec["model"]["window_cells"] > 0
+
+    # file-set model keys win over the file-level kernels defaults...
+    spec = load({**base, "kernels": "windowed",
+                 "model": {"window_cells": 32}})
+    assert spec["model"]["window_cells"] == 32
+    assert spec["model"]["rhs_backend"] == "pallas"
+
+    # ...but the --kernels flag overrides the file's model block
+    spec = load({**base, "model": {"rhs_backend": "xla"}}, kernels="pallas")
+    assert spec["model"]["rhs_backend"] == "pallas"

@@ -183,3 +183,26 @@ def test_lifecycle_long_horizon_matches_scan():
     diff = rel(a.mean.u, b.mean.u)
     spread = rel(a.mean.u, c.mean.u)
     assert diff < 3.0 * max(spread, 1e-6), ("u", diff, spread)
+
+def test_scalar_wind_fn_matches_scan(setup):
+    """The scan body broadcasts scalar wind_fn returns to the full mean
+    column (models/integrate.py:374-375); the streaming kernel's
+    host-built wind table must accept the same contract (a scalar return
+    used to crash table construction with IndexError)."""
+    base, bg, state, statics, mk, run, centers = setup
+    cfg = base.replace(prognostic_mean=False)
+    wf_scalar = lambda t: (0.5 + 0.0 * t, jnp.float32(0.0))
+    wf_full = lambda t: (jnp.full(centers.shape[0], 0.5, jnp.float32)
+                         + 0.0 * t,
+                         jnp.zeros(centers.shape[0], jnp.float32))
+    from msgwam_tpu.ops.step_pallas_stream import simulate_streaming
+
+    f_sc, _, _ = simulate_streaming(state, statics, bg, cfg, run,
+                                    wind_fn=wf_scalar)
+    f_fu, _, _ = simulate_streaming(state, statics, bg, cfg, run,
+                                    wind_fn=wf_full)
+    fin_scan, _ = mt.simulate(state, statics, bg, cfg, run,
+                              wind_fn=wf_scalar)[:2]
+    _close(f_sc.rays.dens, f_fu.rays.dens, 0.0)     # identical tables
+    _close(f_sc.rays.m, fin_scan.rays.m, 2e-5)
+    _close(f_sc.mean.u, fin_scan.mean.u, 2e-5)
