@@ -37,6 +37,11 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 import msgwam_tpu as mt  # noqa: E402
+from msgwam_tpu.utils.xla import enable_persistent_compile_cache  # noqa: E402
+
+# whole-run kernel launches compile in tens of seconds; reruns of the same
+# configuration hit the on-disk cache (MSGWAM_COMPILE_CACHE=off to disable)
+enable_persistent_compile_cache()
 
 N_RAY = 100_000
 # The tunneled TPU backend costs ~21-25 ms per dispatch (measured by

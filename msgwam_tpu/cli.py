@@ -135,11 +135,16 @@ def run_experiment(
     log_every: int = 0,
     resume_from: str = None,
     stream_history: bool = False,
+    shard: bool = False,
 ) -> dict:
-    from .utils.xla import apply_recommended_xla_flags
+    from .utils.xla import (
+        apply_recommended_xla_flags, enable_persistent_compile_cache,
+    )
 
     apply_recommended_xla_flags()
     import jax
+
+    enable_persistent_compile_cache()
 
     if spec.get("dtype", "float64") == "float64":
         jax.config.update("jax_enable_x64", True)
@@ -216,6 +221,10 @@ def run_experiment(
         if (cfg.cull or cfg.relaunch) and not cfg.saturate_online:
             # the in-kernel lifecycle runs only in online-saturation mode
             reasons.append("culling/relaunch with offline saturation")
+        if shard:
+            # ray-axis sharding runs the scan path under shard_map (the
+            # megakernel family shards over ensemble members, not rays)
+            reasons.append("--shard uses the scan path")
         if reasons:
             print("--kernels mega: falling back to the adaptive-window "
                   "kernel (" + "; ".join(reasons) + ")")
@@ -230,6 +239,39 @@ def run_experiment(
                                                source=source, t0=t0),
             static_argnums=(2,),
         )
+    elif shard:
+        # rays sharded over all visible devices; one psum per RHS
+        # evaluation at the flux reduction (parallel/sharding.py).  The
+        # sharded scan path takes no t0: CLI backgrounds are static wind
+        # profiles (a JSON config cannot carry a wind_fn callable), so t0
+        # only shapes the output time axis, which is handled below.
+        from .parallel import (
+            full_history_observe, full_history_observe_spec, make_mesh,
+            sharded_simulate,
+        )
+
+        mesh = make_mesh()
+        n_dev = mesh.devices.size
+        n_cap = int(state.rays.dens.shape[0])
+        if n_cap % n_dev:
+            raise ValueError(
+                f"--shard: ray count {n_cap} must be divisible by the "
+                f"device count {n_dev} (source n_ray controls it)"
+            )
+        print(f"--shard: rays split over {n_dev} device(s)")
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def sim(s, st, r):
+            f, sf, h = sharded_simulate(
+                mesh, s, st, bg, cfg, r,
+                observe=full_history_observe,
+                observe_spec=full_history_observe_spec(),
+                source=source,
+            )
+            # post-run diagnostics contract over the ray axis; gather the
+            # history to replicated (one all-gather per run, not per step)
+            h = jax.device_put(h, NamedSharding(mesh, PartitionSpec()))
+            return f, sf, h
     else:
         sim = jax.jit(
             lambda s, st, r: simulate(s, st, bg, cfg, r, source=source, t0=t0),
@@ -351,6 +393,10 @@ def main(argv=None):
     runp.add_argument("--stream-history", action="store_true",
                       help="stream wind profiles to disk via the native "
                            "async writer (requires --log-every)")
+    runp.add_argument("--shard", action="store_true",
+                      help="shard the ray axis over all visible devices "
+                           "(scan path under shard_map; one psum per RHS "
+                           "evaluation at the flux reduction)")
     runp.add_argument("--window2", type=int,
                       help="second window tier (window_cells2) for the "
                            "windowed/mega kernels; 0 disables")
@@ -381,7 +427,7 @@ def main(argv=None):
     result = run_experiment(
         spec, args.out, make_plot=not args.no_plot,
         log_every=args.log_every, resume_from=args.resume,
-        stream_history=args.stream_history,
+        stream_history=args.stream_history, shard=args.shard,
     )
     print(json.dumps(result))
 

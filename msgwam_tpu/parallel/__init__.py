@@ -4,6 +4,8 @@ one CPU core (SURVEY.md §2 rows 21-22)."""
 
 from .sharding import (  # noqa: F401
     build_sharded_simulate_fn,
+    full_history_observe,
+    full_history_observe_spec,
     make_mesh,
     ray_sharding_specs,
     shard_state,

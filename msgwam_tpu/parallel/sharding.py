@@ -126,6 +126,27 @@ def _default_observe(s, st, aux):
     return s.mean
 
 
+def full_history_observe(s, st, aux):
+    """``observe`` matching :func:`simulate`'s default history tuple
+    ``(state, active, dens_prop)`` — use with
+    :func:`full_history_observe_spec` to get the unsharded driver's
+    history structure out of a sharded run."""
+    return (s, st.active, aux.dens_prop)
+
+
+def full_history_observe_spec(axis: str = RAY_AXIS):
+    """PartitionSpec pytree for :func:`full_history_observe`.  History
+    entries carry a leading time axis (``simulate`` stacks the observed
+    frames), so per-ray buffers are ``(n_frames, capacity)`` sharded on
+    axis 1; mean-flow profiles are replicated."""
+    ray = P(None, axis)
+    state_spec = State(
+        RayState(*([ray] * len(RayState._fields))),
+        MeanState(P(), P()),
+    )
+    return (state_spec, ray, ray)
+
+
 @functools.lru_cache(maxsize=64)
 def build_sharded_simulate_fn(
     mesh: Mesh,

@@ -11,8 +11,10 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, **kw):
+def _run(args, env_extra=None, **kw):
     env = dict(os.environ, JAX_PLATFORM_NAME="cpu", MPLBACKEND="Agg")
+    if env_extra:
+        env.update(env_extra)
     return subprocess.run(
         [sys.executable, "-m", "msgwam_tpu"] + args,
         cwd=REPO, env=env, capture_output=True, text=True, timeout=600, **kw,
@@ -182,3 +184,57 @@ def test_kernels_in_config_file_installs_backends():
     # ...but the --kernels flag overrides the file's model block
     spec = load({**base, "model": {"rhs_backend": "xla"}}, kernels="pallas")
     assert spec["model"]["rhs_backend"] == "pallas"
+
+
+def test_shard_flag(tmp_path):
+    """--shard splits the ray axis over the visible devices (8 virtual CPU
+    devices here) and matches the unsharded run to f32 psum-reordering
+    tolerance."""
+    spec = {
+        "model": {"u0": 4.0, "phi0": 0.0, "kappa": 1.0, "hprop": False,
+                  "saturate_online": True, "rr0": 40000.0,
+                  "projection_backend": "mxu", "interp_backend": "mxu"},
+        "grid": {"n_face": 101, "z_max": 100e3},
+        "run": {"dt": 120.0, "n_steps": 4, "save_every": 2},
+        "source": {"kind": "gaussian_spectrum", "n_ray": 320},
+        "background": "sine",
+        "dtype": "float32",
+    }
+    cfg_path = tmp_path / "shard.json"
+    cfg_path.write_text(json.dumps(spec))
+    env8 = {"XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    out = tmp_path / "s"
+    r = _run(["run", "--config", str(cfg_path), "--out", str(out),
+              "--no-plot", "--shard"], env_extra=env8)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "rays split over 8 device(s)" in r.stdout
+    d = np.load(out / "diagnostics.npz")
+    assert np.all(np.isfinite(d["wave_action"]))
+
+    out2 = tmp_path / "u"
+    r2 = _run(["run", "--config", str(cfg_path), "--out", str(out2),
+               "--no-plot"], env_extra=env8)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    d2 = np.load(out2 / "diagnostics.npz")
+    np.testing.assert_allclose(d["u"], d2["u"], atol=1e-4)
+    np.testing.assert_allclose(d["wave_action"], d2["wave_action"],
+                               rtol=1e-4, atol=1e-12)
+
+    # indivisible ray count: clear error, not a shard_map shape crash
+    spec["source"]["n_ray"] = 321
+    cfg_path.write_text(json.dumps(spec))
+    r3 = _run(["run", "--config", str(cfg_path), "--out",
+               str(tmp_path / "x"), "--no-plot", "--shard"],
+              env_extra=env8)
+    assert r3.returncode != 0
+    assert "divisible by the device count" in (r3.stderr + r3.stdout)
+
+
+def test_shard_demotes_mega(tmp_path):
+    """--kernels mega --shard prints the fallback and runs the sharded
+    scan path."""
+    out = tmp_path / "sm"
+    r = _run(["run", "--preset", "fast", "--steps", "2", "--out", str(out),
+              "--no-plot", "--kernels", "mega", "--shard"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "falling back" in r.stdout and "scan path" in r.stdout

@@ -50,3 +50,26 @@ def test_plotting_smoke(tmp_path):
         save_path=tmp_path / "w.png",
     )
     assert (tmp_path / "w.png").exists()
+
+
+def test_persistent_compile_cache(tmp_path, monkeypatch):
+    import jax
+    from msgwam_tpu.utils.xla import enable_persistent_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # explicit path wins and the directory is created
+        d = tmp_path / "xla-cache"
+        assert enable_persistent_compile_cache(str(d)) == str(d)
+        assert d.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(d)
+        # env var disables
+        monkeypatch.setenv("MSGWAM_COMPILE_CACHE", "off")
+        assert enable_persistent_compile_cache() is None
+        # env var supplies the path
+        d2 = tmp_path / "other"
+        monkeypatch.setenv("MSGWAM_COMPILE_CACHE", str(d2))
+        assert enable_persistent_compile_cache() == str(d2)
+        assert d2.is_dir()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
