@@ -238,8 +238,10 @@ def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):
     print(json.dumps(result))
 
 
-if __name__ == "__main__":
-    ap = argparse.ArgumentParser()
+def cli(argv=None):
+    """Flag-driven entry point (also reachable as
+    ``python -m msgwam_tpu bench <flags>``)."""
+    ap = argparse.ArgumentParser(prog="bench.py")
     ap.add_argument("--backend",
                     choices=["mega", "mxu", "pallas", "pallasw", "xla"],
                     default="mega")
@@ -260,7 +262,7 @@ if __name__ == "__main__":
     ap.add_argument("--fallback", action="store_true",
                     help="report the window-fallback rate at run end "
                          "(pallasw/mega backends)")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     if args.matrix:
         rows = run_matrix(args.steps)
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -285,3 +287,7 @@ if __name__ == "__main__":
         print(json.dumps(run_one(args.n_ray, args.steps, args.backend,
                                  args.accum, args.sharded, args.fallback,
                                  w2=args.w2, w1=args.w1)))
+
+
+if __name__ == "__main__":
+    cli()

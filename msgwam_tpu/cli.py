@@ -412,16 +412,23 @@ def main(argv=None):
                            "fastest at every size; falls back to windowed "
                            "for f64/hprop/lifecycle-with-offline-"
                            "saturation; benchmarks/RESULTS.md)")
-    sub.add_parser("bench", help="run the metric-of-record benchmark")
-    args = ap.parse_args(argv)
+    sub.add_parser(
+        "bench",
+        help="run the metric-of-record benchmark; extra flags are "
+             "forwarded to bench.py (--backend/--n-ray/--steps/--matrix/...)")
+    # bench flags are owned by bench.py: parse only our args and forward
+    # the rest (argparse.REMAINDER mis-handles leading optionals, bpo-17050)
+    args, extra = ap.parse_known_args(argv)
 
     if args.cmd == "bench":
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         sys.path.insert(0, root)
         import bench
 
-        bench.main()
+        bench.cli(extra)
         return
+    if extra:
+        ap.error(f"unrecognized arguments: {' '.join(extra)}")
 
     spec = _load_config(args)
     result = run_experiment(

@@ -46,3 +46,24 @@ def test_graft_dryrun_subprocess():
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "dryrun_multichip OK" in r.stdout
+
+
+def test_bench_subcommand_forwards_flags():
+    """`python -m msgwam_tpu bench <flags>` forwards the flags to
+    bench.cli; unknown `run` flags still error."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "msgwam_tpu", "bench",
+         "--n-ray", "512", "--steps", "5", "--backend", "mxu"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "512" in payload["metric"] and "mxu" in payload["metric"]
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "msgwam_tpu", "run", "--bogus-flag"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=120,
+    )
+    assert r2.returncode != 0
+    assert "unrecognized arguments" in r2.stderr
