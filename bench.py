@@ -39,10 +39,6 @@ import jax.numpy as jnp  # noqa: E402
 import msgwam_tpu as mt  # noqa: E402
 from msgwam_tpu.utils.xla import enable_persistent_compile_cache  # noqa: E402
 
-# whole-run kernel launches compile in tens of seconds; reruns of the same
-# configuration hit the on-disk cache (MSGWAM_COMPILE_CACHE=off to disable)
-enable_persistent_compile_cache()
-
 N_RAY = 100_000
 # The tunneled TPU backend costs ~21-25 ms per dispatch (measured by
 # varying --steps: total = C + n*s).  At the megakernel's ~0.1 ms/step
@@ -228,6 +224,11 @@ def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):
     """Driver entry point: ONE JSON line — the metric of record, plus the
     north-star 1e6 operating point as an embedded extra measurement so the
     driver artifact evidences both (VERDICT r2 #8)."""
+    # whole-run kernel launches compile in tens of seconds; reruns of the
+    # same configuration hit the on-disk cache (MSGWAM_COMPILE_CACHE=off to
+    # disable).  Called here, not at import, so `--help`/argparse errors
+    # never force TPU backend initialization (ADVICE r3).
+    enable_persistent_compile_cache()
     result = run_one(n_ray, n_steps)
     if n_ray >= N_RAY:  # skip the 1e6 extra for tiny smoke-test sizes
         try:
@@ -263,6 +264,7 @@ def cli(argv=None):
                     help="report the window-fallback rate at run end "
                          "(pallasw/mega backends)")
     args = ap.parse_args(argv)
+    enable_persistent_compile_cache()  # after parsing: --help stays cheap
     if args.matrix:
         rows = run_matrix(args.steps)
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

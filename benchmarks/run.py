@@ -3,7 +3,7 @@ config ladder on the current default device.
 
 Usage:
   python benchmarks/run.py                 # scaling table (configs 2-style)
-  python benchmarks/run.py --configs      # BASELINE configs 0-5
+  python benchmarks/run.py --configs      # BASELINE configs 0-4
   python benchmarks/run.py --backend xla  # parity backends instead of mxu
 
 Reference anchor (BASELINE.md, 1 CPU core): 3.36 ms/step @ 60 rays,
@@ -153,7 +153,8 @@ def scaling_table(backend, dtype):
 
 
 def config_ladder(backend, dtype):
-    """The BASELINE.json config ladder 0-5."""
+    """The BASELINE.json config ladder 0-4 (labels = BASELINE.json
+    configs[] indices)."""
     mk = lambda **kw: mt.REFERENCE_RUN_CONFIG.replace(
         dtype=str(np.dtype(dtype)),
         projection_backend="xla" if backend == "xla" else "mxu",
@@ -178,17 +179,17 @@ def config_ladder(backend, dtype):
     gc, bg, state, statics = build(cfg, 10_000, dtype=dtype)
     rows.append(("2: 1e4 coupled", 10_000, *time_steps(cfg, bg, state, statics)))
 
-    # 3/4: 1e5 rays, transient shear + critical-level culling + relaunch
+    # 3: 1e5 rays, transient shear + critical-level culling + relaunch
     cfg = mk(saturate_online=True, cull=True, relaunch=True,
              m_max=2 * np.pi / 300.0)
     gc, bg, state, statics = build(cfg, 100_000, dtype=dtype)
     source = mt.gaussian_spectrum_source(
         cfg, bg, 100_000, z_launch=2000.0, dz_launch=500.0,
         amplitude_alpha=0.003, dtype=dtype)
-    rows.append(("4: 1e5 cull+relaunch", 100_000,
+    rows.append(("3: 1e5 cull+relaunch", 100_000,
                  *time_steps(cfg, bg, state, statics, source=source)))
 
-    # 5: 1e6-ray ensemble (8 members x 125k), full coupling
+    # 4: 1e6-ray ensemble (8 members x 125k), full coupling
     cfg = mk(saturate_online=True)
     gc, bg, state, statics = build(cfg, 125_000, dtype=dtype)
     from msgwam_tpu.parallel import ensemble_simulate
@@ -205,7 +206,7 @@ def config_ladder(backend, dtype):
     out = ensemble_simulate(bstate, bstatics, bg, cfg, run, sequential=seq)
     jax.block_until_ready(out)
     per_step = (time.perf_counter() - t0) / run.n_steps
-    rows.append(("5: 1e6 ensemble (8x125k)", 1_000_000, per_step, compile_s))
+    rows.append(("4: 1e6 ensemble (8x125k)", 1_000_000, per_step, compile_s))
 
     print(f"# BASELINE config ladder — backend={backend}, dtype={np.dtype(dtype)}, "
           f"device={jax.devices()[0].device_kind}")
@@ -242,11 +243,12 @@ def _time_resident(cfg, bg, state, statics, n_steps=1000, source=None,
 
 
 def config_ladder_champion(dtype, n_steps=1000):
-    """BASELINE configs 0-5 through the round-3 champion backend for each
-    (VERDICT r2 #2): the whole-run megakernel wherever its scope allows
-    (0, 1, 2, 5 — per-member for the ensemble), and the adaptive-window
-    fused kernel through the scan path where the lifecycle machinery
-    (cull + relaunch + transient tidal wind) must run (config 4)."""
+    """All five BASELINE configs (labels 0-4 = BASELINE.json configs[]
+    indices) through the champion backend for each: the whole-run
+    megakernel wherever its scope allows (0, 1, 2, 4 — one-launch
+    member-partitioned for the ensemble), and the streaming megakernel's
+    in-kernel lifecycle (cull + relaunch + transient tidal wind) for
+    config 3."""
     from msgwam_tpu.models.backgrounds import tidal_shear
 
     # measured champion window for <=131k-class problems: W=24 (the W=16
@@ -277,7 +279,7 @@ def config_ladder_champion(dtype, n_steps=1000):
     rows.append(("2: 1e4 coupled", 10_000, "mega",
                  *_time_resident(cfg, bg, state, statics, n_steps)))
 
-    # 4: 1e5, transient tidal shear + critical-level cull + relaunch —
+    # 3: 1e5, transient tidal shear + critical-level cull + relaunch —
     # the streaming megakernel runs the whole lifecycle in-kernel
     # (cull → relaunch at each step boundary, imposed wind from a
     # per-step table); imposed wind => non-prognostic mean
@@ -290,11 +292,11 @@ def config_ladder_champion(dtype, n_steps=1000):
     centers = jnp.asarray(gc.centers(), dtype)
     wf = lambda t: (tidal_shear(centers, t, cfg),
                     jnp.zeros_like(centers))
-    rows.append(("4: 1e5 tidal+cull+relaunch", 100_000, "mega-stream",
+    rows.append(("3: 1e5 tidal+cull+relaunch", 100_000, "mega-stream",
                  *_time_resident(cfg, bg, state, statics, n_steps=n_steps,
                                  source=source, wind_fn=wf)))
 
-    # 5: 1e6-ray ensemble, full coupling — the ENTIRE 8-member ensemble as
+    # 4: 1e6-ray ensemble, full coupling — the ENTIRE 8-member ensemble as
     # ONE streaming-megakernel launch: the tile range is partitioned among
     # members in-kernel (independent winds, shared sequential flux
     # accumulator), so the ensemble runs at full streaming throughput with
@@ -317,7 +319,7 @@ def config_ladder_champion(dtype, n_steps=1000):
         t0 = time.perf_counter()
         jax.block_until_ready(f(bstate, bstatics))
         best = min(best, time.perf_counter() - t0)
-    rows.append(("5: 1e6 ensemble (8x125k)", 1_000_000, "mega-ens",
+    rows.append(("4: 1e6 ensemble (8x125k)", 1_000_000, "mega-ens",
                  best / n_steps, compile_s))
 
     print(f"# BASELINE config ladder (champion backends) — "
@@ -336,7 +338,7 @@ def config_ladder_champion(dtype, n_steps=1000):
                          "vs_baseline": round(rs / BASELINE_RAY_STEPS, 1),
                          "compile_s": round(compile_s, 1)})
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "CONFIGS_r03.json")
+                       "CONFIGS_r04.json")
     with open(out, "w") as fjson:
         json.dump(out_rows, fjson, indent=1)
     print(f"wrote {out}")

@@ -412,10 +412,14 @@ def main(argv=None):
                            "fastest at every size; falls back to windowed "
                            "for f64/hprop/lifecycle-with-offline-"
                            "saturation; benchmarks/RESULTS.md)")
+    # add_help=False: `msgwam_tpu bench --help` must show bench.py's own
+    # flags, so --help rides along in the forwarded extras instead of
+    # being answered by this (flagless) subparser (ADVICE r3)
     sub.add_parser(
-        "bench",
-        help="run the metric-of-record benchmark; extra flags are "
-             "forwarded to bench.py (--backend/--n-ray/--steps/--matrix/...)")
+        "bench", add_help=False,
+        help="run the metric-of-record benchmark; all flags are "
+             "forwarded to bench.py (--backend/--n-ray/--steps/--matrix/"
+             "--help/...)")
     # bench flags are owned by bench.py: parse only our args and forward
     # the rest (argparse.REMAINDER mis-handles leading optionals, bpo-17050)
     args, extra = ap.parse_known_args(argv)
@@ -428,7 +432,9 @@ def main(argv=None):
         bench.cli(extra)
         return
     if extra:
-        ap.error(f"unrecognized arguments: {' '.join(extra)}")
+        # error against the run subparser so the message carries its usage
+        # and flag suggestions, not the bare top-level usage (ADVICE r3)
+        runp.error(f"unrecognized arguments: {' '.join(extra)}")
 
     spec = _load_config(args)
     result = run_experiment(

@@ -29,14 +29,16 @@ def enable_persistent_compile_cache(path: str | None = None) -> str | None:
     8000-step resident launch ~20-40 s cold); the persistent cache makes
     every rerun of the same configuration hit disk instead.  Resolution
     order: explicit ``path`` argument, then the ``MSGWAM_COMPILE_CACHE``
-    environment variable (set to ``0``/``off`` to disable), then
+    environment variable (set to ``0``/``off`` to disable; an explicit
+    ``path`` argument wins over the env kill-switch), then
     ``~/.cache/msgwam_tpu/xla-cache``.  Only compilations slower than 2 s
     are persisted, so tiny test programs don't churn the cache.  Returns
     the cache directory, or ``None`` when disabled.  Safe to call more
     than once and at any point (JAX consults the config per compile).
     """
     env = os.environ.get("MSGWAM_COMPILE_CACHE")
-    if env is not None and env.lower() in ("0", "off", "false", ""):
+    if (path is None and env is not None
+            and env.lower() in ("0", "off", "false", "")):
         return None
     import jax
 

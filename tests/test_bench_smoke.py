@@ -36,13 +36,17 @@ def test_graft_entry_single_chip():
 
 
 def test_graft_dryrun_subprocess():
+    # the axon TPU plugin ignores JAX_PLATFORMS=cpu (conftest.py); the
+    # config-backed JAX_PLATFORM_NAME is the switch that actually pins the
+    # subprocess to CPU — without it this test initializes the TPU relay
+    # and can hang to the timeout on a contended/absent relay
     env = dict(os.environ,
                XLA_FLAGS="--xla_force_host_platform_device_count=8",
-               JAX_PLATFORMS="cpu")
+               JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
     r = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "dryrun_multichip OK" in r.stdout
@@ -51,11 +55,11 @@ def test_graft_dryrun_subprocess():
 def test_bench_subcommand_forwards_flags():
     """`python -m msgwam_tpu bench <flags>` forwards the flags to
     bench.cli; unknown `run` flags still error."""
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu")
     r = subprocess.run(
         [sys.executable, "-m", "msgwam_tpu", "bench",
          "--n-ray", "512", "--steps", "5", "--backend", "mxu"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=600,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     payload = json.loads(r.stdout.strip().splitlines()[-1])

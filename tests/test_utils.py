@@ -57,15 +57,19 @@ def test_persistent_compile_cache(tmp_path, monkeypatch):
     from msgwam_tpu.utils.xla import enable_persistent_compile_cache
 
     prev = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         # explicit path wins and the directory is created
         d = tmp_path / "xla-cache"
         assert enable_persistent_compile_cache(str(d)) == str(d)
         assert d.is_dir()
         assert jax.config.jax_compilation_cache_dir == str(d)
-        # env var disables
+        # env var disables...
         monkeypatch.setenv("MSGWAM_COMPILE_CACHE", "off")
         assert enable_persistent_compile_cache() is None
+        # ...but an explicit path argument beats the env kill-switch
+        # (the documented resolution order, ADVICE r3)
+        assert enable_persistent_compile_cache(str(d)) == str(d)
         # env var supplies the path
         d2 = tmp_path / "other"
         monkeypatch.setenv("MSGWAM_COMPILE_CACHE", str(d2))
@@ -73,3 +77,5 @@ def test_persistent_compile_cache(tmp_path, monkeypatch):
         assert d2.is_dir()
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
