@@ -60,11 +60,10 @@ def _setup(n_ray: int, backend: str, accum: str, w2: int = 0,
         projection_backend="xla" if backend == "xla" else "mxu",
         interp_backend="gather" if backend == "xla" else "mxu",
         rhs_backend="pallas" if backend in ("pallas", "pallasw") else "xla",
-        # window width: one source of truth — the ModelConfig default
-        # (W=16, measured fastest at 1e6; RESULTS.md); "pallas" = the
-        # plain full-width fused kernel (window_cells=0)
-        window_cells=(w1 or (mt.ModelConfig().window_cells
-                             if backend == "pallasw" else 0)),
+        # window width: one source of truth — the ModelConfig auto
+        # sentinel (-1: the scan path resolves it to its 16-cell floor);
+        # "pallas" = the plain full-width fused kernel (window_cells=0)
+        window_cells=(w1 or (-1 if backend == "pallasw" else 0)),
         flux_accum=accum if backend == "mxu" else "native",
         window_cells2=w2,
     )
@@ -94,15 +93,14 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         # adaptive-window fused-RHS kernel per shard
         backend = "pallasw"
     if backend == "mega" and not w1 and not w2:
-        # measured champion windows per size (benchmarks/WORKLIST_r03.jsonl):
-        # at 1e5 W=16 drops more blocks to the full-width path (fallback
-        # 54% vs 46%) so W=24 wins (1.08e9 vs 0.99e9 ray-steps/s); at >=1e6
-        # W=16 stays best but the 96-cell second tier catches the
-        # dispersive 80-100-cell tail (1.55e9 vs 1.47e9)
-        if n_ray <= 200_000:
-            w1 = 24
-        else:
-            w2 = 96
+        # per-size champion windows from the library's measured ladder
+        # (ops/rhs_pallas.py:resolve_champion — VERDICT r3 #3: bench reads
+        # the table, it no longer owns it); resolved to concrete values
+        # here so the fallback diagnostics below mirror the actual run
+        from msgwam_tpu.ops.rhs_pallas import resolve_champion
+
+        ch = resolve_champion(n_ray)
+        w1, w2 = ch["window_cells"], ch["window_cells2"]
     cfg, bg, state, statics = _setup(n_ray, backend, accum, w2, w1)
     run = mt.RunConfig(dt=DT, n_steps=n_steps, save_every=n_steps)
 
@@ -179,7 +177,7 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         from msgwam_tpu.diagnostics import window_fallback_stats
 
         wcfg = cfg if cfg.window_cells else cfg.replace(
-            rhs_backend="pallas", window_cells=mt.ModelConfig().window_cells)
+            rhs_backend="pallas", window_cells=-1)  # auto -> 16-cell floor
         # (wcfg inherits window_cells2 from cfg, so the full_rate below
         # reflects the tier actually benchmarked)
         block_rows = 0

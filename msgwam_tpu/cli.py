@@ -105,15 +105,15 @@ def _load_config(args) -> dict:
             override = dict(projection_backend="mxu", interp_backend="mxu",
                             rhs_backend="pallas", window_cells=0)
         elif kernels in ("windowed", "mega"):
-            # window width: one source of truth — the ModelConfig default
-            # (W=16, measured fastest); "mega" keeps the windowed settings
-            # so its capacity/dtype fallback path is the 1e6 champion
-            from .config import ModelConfig
-
+            # window widths: one source of truth — the ModelConfig auto
+            # sentinels (-1), resolved per problem size by the megakernel
+            # drivers against the measured champion ladder
+            # (ops/rhs_pallas.py:resolve_champion); the scan-path windowed
+            # kernel (and mega's capacity/dtype fallback) resolves them to
+            # its own W=16 floor.  A config-file window_cells/window_cells2
+            # stays explicit and wins.
             override = dict(projection_backend="mxu", interp_backend="mxu",
                             rhs_backend="pallas")
-            if not model.get("window_cells"):
-                override["window_cells"] = ModelConfig().window_cells
         else:
             raise ValueError(f"unknown kernels choice {kernels!r}")
         if from_args:

@@ -111,11 +111,14 @@ class ModelConfig:
     # and any block whose span outgrows the window falls back — per block,
     # in the same kernel — to the exact full-width path, so results are
     # always exact.  Source slots are launched height-ordered, so coherent
-    # workloads stay windowed with no sorting.  The default W=16 is the
-    # measured-fastest setting (1.16e9 ray-steps/s at 1e6 rays; narrower
-    # windows beat wider ones as long as blocks stay coherent —
-    # benchmarks/RESULTS.md); see ops/rhs_pallas_windowed.py.
-    window_cells: int = 16
+    # workloads stay windowed with no sorting.  The default -1 means
+    # *auto*: the megakernel drivers resolve it against the measured
+    # per-size champion ladder (ops/rhs_pallas.py:resolve_champion — W=24
+    # below ~2e5 rays, W=16 above), and the scan-path windowed kernel
+    # resolves it to the 16-cell floor (the measured-fastest fixed setting
+    # there: 1.16e9 ray-steps/s at 1e6 rays — benchmarks/RESULTS.md); see
+    # ops/rhs_pallas_windowed.py.
+    window_cells: int = -1
 
     # Second window tier for the megakernel family (ops/step_pallas*.py):
     # a block whose span outgrows ``window_cells`` tries this wider window
@@ -126,12 +129,13 @@ class ModelConfig:
     # (per-ray extents stay at ~0.5 cells; it is pure positional mixing) —
     # so a wide second tier recovers most of the 8x full-width penalty on
     # exactly those blocks.  Rounded up to a multiple of 8; 0 disables the
-    # tier.  Results are exact on every path.  Measured on TPU
-    # (benchmarks/WORKLIST_r03.jsonl): W2=96 wins +5% at >=1e6 rays (the
-    # bench default there); at 1e5 the tier is NEGATIVE (-2..-9%) and the
-    # right move is window_cells=24 instead — see bench.py's champion
-    # selection.
-    window_cells2: int = 0
+    # tier; the default -1 means *auto* — the megakernel drivers resolve
+    # it against the champion ladder (W2=96 at >1e5-class sizes, where it
+    # wins +5%; off below, where it is NEGATIVE -2..-9% and window_cells=24
+    # is the right move instead — ops/rhs_pallas.py:resolve_champion), and
+    # the scan-path kernels resolve it to off.  Results are exact on every
+    # path.  Measured on TPU: benchmarks/WORKLIST_r03.jsonl.
+    window_cells2: int = -1
 
     # Prognostic mean flow (wave–mean-flow coupling on).  False freezes the
     # wind tendencies — a truly *fixed* background (BASELINE config 1), or,

@@ -160,7 +160,7 @@ def rk3_step(
     measured ~0.18 ms/step of XLA glue at 1e6 rays otherwise); gradients
     route through the generic path via a custom VJP."""
     if (rhs is rhs_default and cfg.rhs_backend == "pallas"
-            and cfg.window_cells > 0 and cfg.integrator == "rk3"
+            and cfg.window_cells != 0 and cfg.integrator == "rk3"
             and not cfg.hprop):
         return _rk3_step_fused(dt, state, statics, bg, cfg, axis_name)
     integ = INTEGRATORS[cfg.integrator]

@@ -243,9 +243,10 @@ def _rhs_via_fused_kernel(dt, state, statics, bg, cfg, axis_name):
     kernel returns the three active ray tendencies (hprop=False) plus the
     interior flux; boundary padding, flux divergence, and the mean-flow
     tendencies are the same XLA glue as the composable path.
-    ``cfg.window_cells > 0`` selects the height-windowed variant (with its
-    built-in exact fallback; see ops/rhs_pallas_windowed.py)."""
-    if cfg.window_cells > 0:
+    ``cfg.window_cells != 0`` selects the height-windowed variant (with its
+    built-in exact fallback; -1 = auto resolves to the 16-cell floor; see
+    ops/rhs_pallas_windowed.py)."""
+    if cfg.window_cells != 0:
         from ..ops.rhs_pallas_windowed import rhs_fused_windowed as rhs_fused
     else:
         from ..ops.rhs_pallas import rhs_fused

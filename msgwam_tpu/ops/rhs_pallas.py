@@ -94,6 +94,56 @@ def resolve_window_cells(cfg, c_pad: int) -> tuple:
     return w1, w2
 
 
+def resolve_champion(n_ray: int, lifecycle: bool = False) -> dict:
+    """The measured-champion kernel settings for the megakernel family at
+    a given problem size: ``{"window_cells", "window_cells2", "tile_rows"}``.
+
+    Single source of truth for the per-size champions (previously
+    bench-script knowledge only — VERDICT r3 weak #2): consumed by the
+    megakernel drivers when the config carries the ``window_cells=-1`` /
+    ``window_cells2=-1`` auto sentinels, by the CLI's ``--kernels mega``
+    path, and by ``bench.py``.
+
+    Measured ladder (TPU v5e, benchmarks/WORKLIST_r03.jsonl +
+    BENCH_MATRIX.json):
+
+    * ``n_ray <= 200_000`` (VMEM-resident regime): W=24.  W=16 drops more
+      8192-ray blocks to the full-width path (fallback 54% vs 46%), so the
+      wider first tier wins (1.08e9 vs 0.99e9 ray-steps/s at 1e5); the
+      96-cell second tier is NEGATIVE here (-2..-9%).
+    * ``n_ray > 200_000`` (HBM-streaming regime): W=16 with a 96-cell
+      second tier that catches the dispersive 80-100-cell span tail
+      (1.55e9 vs 1.47e9 at 1e6).
+
+    ``tile_rows`` is the streamed-tile height (ignored by the resident
+    kernel); see :func:`~msgwam_tpu.ops.step_pallas_stream._auto_tile_rows`
+    for its own measured ladder.
+    """
+    if n_ray <= 200_000:
+        w1, w2 = 24, 0
+    else:
+        w1, w2 = 16, 96
+    from .step_pallas_stream import _auto_tile_rows
+
+    return {"window_cells": w1, "window_cells2": w2,
+            "tile_rows": _auto_tile_rows(n_ray, lifecycle)}
+
+
+def apply_champion(cfg, n_ray: int) -> "ModelConfig":  # noqa: F821
+    """Resolve the ``window_cells``/``window_cells2`` auto sentinels (-1)
+    against the measured champion ladder for ``n_ray`` rays.  Explicit
+    non-negative settings are honored unchanged; returns ``cfg`` itself
+    when nothing is auto."""
+    upd = {}
+    if cfg.window_cells < 0 or cfg.window_cells2 < 0:
+        ch = resolve_champion(n_ray, lifecycle=cfg.cull or cfg.relaunch)
+        if cfg.window_cells < 0:
+            upd["window_cells"] = ch["window_cells"]
+        if cfg.window_cells2 < 0:
+            upd["window_cells2"] = ch["window_cells2"]
+    return cfg.replace(**upd) if upd else cfg
+
+
 # scalar-parameter slots (float32 SMEM)
 _G0C, _DZ, _G0F, _DT, _BVF, _KAPPA, _F0, _NPARAM = range(8)
 

@@ -740,6 +740,11 @@ def _simulate_resident_impl(state, statics, bg, cfg, run,
         raise ValueError("n_steps must be divisible by save_every")
     rays, mean = state.rays, state.mean
     n = rays.r.shape[0]
+    # resolve the window auto sentinels (-1) against the measured champion
+    # ladder for this problem size (rhs_pallas.resolve_champion)
+    from .rhs_pallas import apply_champion
+
+    cfg = apply_champion(cfg, n)
     n_rows_needed = _ceil_to(n, LANE) // LANE
     if n_rows_needed > MAX_ROWS:
         # above the VMEM-resident capacity the HBM-streaming variant runs

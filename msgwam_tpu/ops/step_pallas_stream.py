@@ -999,6 +999,11 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
 
     rays, mean = state.rays, state.mean
     n = rays.r.shape[0]
+    # resolve the window auto sentinels (-1) against the measured champion
+    # ladder for this problem size (rhs_pallas.resolve_champion)
+    from .rhs_pallas import apply_champion
+
+    cfg = apply_champion(cfg, n)
     if tile_rows <= 0:
         tile_rows = _auto_tile_rows(n, lifecycle=cfg.cull or cfg.relaunch)
     params, n_tab, n_flux_cells, c_pad, w_cells, w2_cells = \
@@ -1176,6 +1181,11 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
                 f"{name} has dtype {jnp.asarray(arr).dtype}")
 
     E, n = rays.r.shape
+    # window champions key on the TOTAL ray count (the throughput regime);
+    # the tile height below keys on the per-member slab size
+    from .rhs_pallas import apply_champion
+
+    cfg = apply_champion(cfg, E * n)
     if tile_rows <= 0:
         # per-member size: members pad to tile multiples, so the per-tile
         # amortization argument is per-member (tools/tile_sweep.py)

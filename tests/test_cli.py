@@ -173,7 +173,9 @@ def test_kernels_in_config_file_installs_backends():
     spec = load({**base, "kernels": "mega"})
     assert spec["model"]["rhs_backend"] == "pallas"
     assert spec["model"]["projection_backend"] == "mxu"
-    assert spec["model"]["window_cells"] > 0
+    # windows stay unset: the ModelConfig auto sentinel (-1) flows through
+    # so the megakernel drivers resolve the per-size champion ladder
+    assert "window_cells" not in spec["model"]
 
     # file-set model keys win over the file-level kernels defaults...
     spec = load({**base, "kernels": "windowed",

@@ -79,3 +79,39 @@ def test_persistent_compile_cache(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", prev)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           prev_min)
+
+
+def test_resolve_champion_ladder():
+    """The measured champion ladder is library-owned (VERDICT r3 #3):
+    resolve_champion returns the per-size kernel settings, apply_champion
+    resolves only the -1 auto sentinels and honors explicit values."""
+    from msgwam_tpu.config import ModelConfig
+    from msgwam_tpu.ops.rhs_pallas import apply_champion, resolve_champion
+
+    # resident regime: W=24, no tier-2; streaming regime: W=16 + W2=96
+    small = resolve_champion(100_000)
+    assert (small["window_cells"], small["window_cells2"]) == (24, 0)
+    big = resolve_champion(1_000_000)
+    assert (big["window_cells"], big["window_cells2"]) == (16, 96)
+    # tile height mirrors _auto_tile_rows, incl. the lifecycle derate
+    assert big["tile_rows"] == 192
+    assert resolve_champion(1_000_000, lifecycle=True)["tile_rows"] == 128
+    assert resolve_champion(10_000_000)["tile_rows"] == 256
+
+    # the ModelConfig defaults are the auto sentinels
+    cfg = ModelConfig()
+    assert cfg.window_cells == -1 and cfg.window_cells2 == -1
+    r = apply_champion(cfg, 1_000_000)
+    assert (r.window_cells, r.window_cells2) == (16, 96)
+    r = apply_champion(cfg, 100_000)
+    assert (r.window_cells, r.window_cells2) == (24, 0)
+    # explicit settings win over the ladder; nothing-auto returns cfg as-is
+    e = cfg.replace(window_cells=32, window_cells2=0)
+    assert apply_champion(e, 1_000_000) is e
+    half = apply_champion(cfg.replace(window_cells=32), 1_000_000)
+    assert (half.window_cells, half.window_cells2) == (32, 96)
+
+    # the scan-path resolver maps the sentinels to its floor (W=16, no W2)
+    from msgwam_tpu.ops.rhs_pallas import resolve_window_cells
+
+    assert resolve_window_cells(cfg, 128) == (16, 0)

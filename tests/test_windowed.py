@@ -226,7 +226,7 @@ def test_window_coherence_long_horizon_measured():
 
     cfg, bg, state, statics = _setup(n=32768, pad_to=32768)
     cfgw = cfg.replace(rhs_backend="pallas",
-                       window_cells=mt.ModelConfig().window_cells)
+                       window_cells=16)  # the scan-path auto floor
     # fresh launch-ordered buffer: fully windowed
     s0 = window_fallback_stats(120.0, state, statics, bg, cfgw)
     assert float(s0.fallback_rate) == 0.0

@@ -70,7 +70,7 @@ def timed_launch(cfg, bg, state, statics, n_steps):
 def main():
     cfg, bg, state, statics = _setup(N_RAY, "mega", "native")
     wcfg = cfg.replace(rhs_backend="pallas",
-                       window_cells=mt.ModelConfig().window_cells)
+                       window_cells=16)
 
     # 1. horizon curve (W = default 16)
     horizons = [1000, 2000, 4000, 8000]
@@ -102,7 +102,7 @@ def main():
     # kernel; shorter horizons — 1e6 decoheres ~10x slower per tile)
     cfg6, bg6, state6, statics6 = _setup(1_000_000, "mega", "native")
     wcfg6 = cfg6.replace(rhs_backend="pallas",
-                         window_cells=mt.ModelConfig().window_cells)
+                         window_cells=16)
     totals6 = {}
     for n in (1000, 3000):
         best, out = timed_launch(cfg6, bg6, state6, statics6, n)
