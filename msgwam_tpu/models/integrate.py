@@ -280,6 +280,7 @@ def simulate(
     source_key: Optional[jax.Array] = None,
     validate: bool = True,
     sort_every: int = 0,
+    remat: bool = False,
 ):
     """Run ``run.n_steps`` steps as one ``lax.scan``, recording an
     observation every ``run.save_every`` steps.
@@ -309,6 +310,14 @@ def simulate(
     *original* slot order, so per-slot semantics (the reference's
     ``raytracer.py:124-150`` history layout) are preserved exactly; only
     floating-point reduction order differs.
+
+    ``remat=True`` wraps each ``save_every``-step block in
+    ``jax.checkpoint``: ``jax.grad`` through the run then stores only the
+    per-block carries (``n_steps/save_every`` state snapshots) and replays
+    each block's forward during the backward sweep.  Without it the scan
+    saves the full per-step residuals — at 1e6 rays that is ~50 MB/step,
+    an OOM a few hundred steps in.  Choose ``save_every ~ sqrt(n_steps)``
+    for the classic sqrt-memory schedule; forward-only runs pay nothing.
 
     ``wind_fn(t) -> (u, v)`` prescribes a transient imposed background
     (e.g. :func:`msgwam_tpu.models.backgrounds.tidal_shear`): the mean wind
@@ -397,11 +406,22 @@ def simulate(
                 st, stat = _sources.relaunch(st, stat, template)
         return (st, stat, key, slot), aux
 
-    def outer(carry, block):
+    def run_block(carry, block):
+        # only the last step's aux leaves the block: the per-step stack
+        # would otherwise be materialized (and, under remat, saved) even
+        # though observe() sees one frame per outer step
         (st, stat, key, slot), aux = jax.lax.scan(inner, carry, block)
         aux_last = jax.tree.map(lambda x: x[-1], aux)
+        return (st, stat, key, slot), aux_last
+
+    if remat:
+        run_block = jax.checkpoint(run_block)
+
+    def outer(carry, block):
+        carry, aux_last = run_block(carry, block)
+        st, stat, _, slot = carry
         ob_st, ob_stat, ob_aux = _unsorted(st, stat, aux_last, slot)
-        return (st, stat, key, slot), observe(ob_st, ob_stat, ob_aux)
+        return carry, observe(ob_st, ob_stat, ob_aux)
 
     obs0 = None
     if include_t0:

@@ -41,6 +41,28 @@ def test_grad_through_simulation():
     np.testing.assert_allclose(float(g), float(fd), rtol=1e-4)
 
 
+def test_remat_grad_matches_plain():
+    """simulate(remat=True) is a pure memory schedule: the forward values
+    and the gradient must match the plain scan exactly (same ops, same
+    order — jax.checkpoint only changes what is *stored*)."""
+    cfg, bg, state, statics = _setup()
+    run = mt.RunConfig(dt=120.0, n_steps=20, save_every=5)
+
+    def loss(scale, remat):
+        s = state._replace(
+            rays=state.rays._replace(dens=state.rays.dens * scale)
+        )
+        final, _, hist = mt.simulate(s, statics, bg, cfg, run, remat=remat)
+        return jnp.sum((final.mean.u - state.mean.u) ** 2) \
+            + 1e-3 * jnp.sum(hist[0].rays.r ** 2)
+
+    f_plain, g_plain = jax.value_and_grad(loss)(1.0, False)
+    f_remat, g_remat = jax.value_and_grad(loss)(1.0, True)
+    np.testing.assert_allclose(float(f_plain), float(f_remat), rtol=0)
+    np.testing.assert_allclose(float(g_plain), float(g_remat), rtol=1e-12)
+    assert float(g_plain) != 0.0
+
+
 def test_jacobian_of_single_step():
     """jacfwd through one RK3 step: d(r_new)/d(m) is nonzero (group velocity
     depends on m) and finite everywhere."""
