@@ -87,7 +87,8 @@ def _setup(n_ray: int, backend: str, accum: str, w2: int = 0,
 def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
             backend: str = "mega", accum: str = "native",
             sharded: bool = False, fallback: bool = False,
-            w2: int = 0, w1: int = 0) -> dict:
+            w2: int = 0, w1: int = 0, save_every: int = 0,
+            launch_sort: str = "auto") -> dict:
     if backend == "mega" and sharded:
         # the megakernel family is single-chip; the sharded path runs the
         # adaptive-window fused-RHS kernel per shard
@@ -102,7 +103,12 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         ch = resolve_champion(n_ray)
         w1, w2 = ch["window_cells"], ch["window_cells2"]
     cfg, bg, state, statics = _setup(n_ray, backend, accum, w2, w1)
-    run = mt.RunConfig(dt=DT, n_steps=n_steps, save_every=n_steps)
+    run = mt.RunConfig(dt=DT, n_steps=n_steps,
+                       save_every=save_every or n_steps)
+    # launch-boundary height re-sort (streaming megakernel): auto = the
+    # library rule (on >= LAUNCH_SORT_MIN rays); on/off force it for the
+    # sorted-vs-unsorted matrix rows
+    ls = {"auto": None, "on": True, "off": False}[launch_sort]
 
     if sharded:
         from msgwam_tpu.parallel.sharding import make_mesh, sharded_simulate
@@ -117,7 +123,8 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
     elif backend == "mega":
         from msgwam_tpu.ops.step_pallas import simulate_resident
 
-        step_fn = jax.jit(lambda s, st: simulate_resident(s, st, bg, cfg, run))
+        step_fn = jax.jit(lambda s, st: simulate_resident(
+            s, st, bg, cfg, run, launch_sort=ls))
     else:
         # pallasw relies on launch-order height coherence (no sorting: XLA's
         # TPU sort costs 150-250 ms at 1e6 rays, ~100x the whole step)
@@ -155,7 +162,9 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
     ray_steps_per_sec = n_ray * n_steps / best
     label = backend + ("+" + accum if accum != "native" else "") \
         + ("+sharded" if sharded else "") \
-        + (f"+w1={w1}" if w1 else "") + (f"+w2={w2}" if w2 else "")
+        + (f"+w1={w1}" if w1 else "") + (f"+w2={w2}" if w2 else "") \
+        + (f"+sort={launch_sort}" if launch_sort != "auto" else "") \
+        + (f"+save={save_every}" if save_every else "")
     result = {
         "metric": f"ray-volume steps/sec/chip at {n_ray:,} rays "
                   f"(coupled, online saturation, f32, {label})",
@@ -194,6 +203,70 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
     return result
 
 
+def run_grad(n_ray: int, n_steps: int = 100, remat: bool = True) -> dict:
+    """Adjoint benchmark (VERDICT r3 #2): time ``jax.grad`` of a
+    wind-response loss through the fully coupled run (scan path — the
+    pallas kernels' custom VJPs route their backward here anyway) and
+    report the backward:forward ratio plus device peak memory.
+
+    ``remat=True`` (the production setting) uses ``simulate(remat=True)``
+    with ``save_every ~ sqrt(n_steps)``: the backward stores one state
+    snapshot per block instead of per step (~50 MB/step at 1e6 rays —
+    an OOM a few hundred steps in without it)."""
+    cfg, bg, state, statics = _setup(n_ray, "mxu", "native")
+    save = max(1, round(n_steps ** 0.5))
+    while n_steps % save:
+        save -= 1
+    run = mt.RunConfig(dt=DT, n_steps=n_steps, save_every=save)
+    u0 = state.mean.u
+    observe = lambda s, st, aux: s.mean.u  # O(n_cell) history only
+
+    def loss(dens0):
+        s = state._replace(rays=state.rays._replace(dens=dens0))
+        final, _, _ = mt.simulate(s, statics, bg, cfg, run,
+                                  observe=observe, remat=remat,
+                                  validate=False)
+        return jnp.sum((final.mean.u - u0) ** 2)
+
+    fwd = jax.jit(loss)
+    grad = jax.jit(jax.grad(loss))
+
+    def _time(fn, arg):
+        out = fn(arg)  # compile + warm-up
+        jax.block_until_ready(out)
+        b = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(arg)
+            jax.block_until_ready(out)
+            b = min(b, time.perf_counter() - t0)
+        return b, out
+
+    t_fwd, _ = _time(fwd, state.rays.dens)
+    t_grad, g = _time(grad, state.rays.dens)
+    assert bool(jnp.all(jnp.isfinite(g))), "gradient blew up"
+    assert float(jnp.max(jnp.abs(g))) > 0.0, "gradient identically zero"
+    try:
+        peak = jax.local_devices()[0].memory_stats()["peak_bytes_in_use"]
+    except (AttributeError, KeyError, TypeError):
+        peak = None
+    rs = n_ray * n_steps / t_grad
+    result = {
+        "metric": f"adjoint (value+grad) ray-steps/sec at {n_ray:,} rays "
+                  f"(coupled run, {n_steps} steps, "
+                  f"remat={'on' if remat else 'off'})",
+        "value": round(rs, 1),
+        "unit": "ray-steps/s",
+        "vs_baseline": round(rs / BASELINE_RAY_STEPS_PER_SEC, 1),
+        "forward_s": round(t_fwd, 4),
+        "grad_s": round(t_grad, 4),
+        "bwd_fwd_ratio": round(t_grad / t_fwd, 2),
+    }
+    if peak is not None:
+        result["peak_hbm_gb"] = round(peak / 2**30, 2)
+    return result
+
+
 def run_matrix(n_steps: int = N_STEPS) -> list:
     """Multi-size, multi-backend matrix (VERDICT r2 #8): the metric of
     record (1e5), the north-star operating point (1e6), the VMEM
@@ -204,16 +277,30 @@ def run_matrix(n_steps: int = N_STEPS) -> list:
     # >=1e6 rows use the shorter launch (dispatch cost is <3.5% there);
     # scale it with --steps so smoke invocations stay small everywhere
     big = max(1, round(N_STEPS_BIG * n_steps / N_STEPS))
-    for n_ray, backend, steps in [
-        (100_000, "mega", n_steps),      # metric of record, VMEM-resident
-        (100_000, "pallasw", n_steps),
-        (131_072, "mega", n_steps),      # resident-kernel capacity point
-        (1_000_000, "mega", big),        # north star, HBM-streaming
-        (1_000_000, "pallasw", big),
-        (1_000_000, "mxu", big),
-        (10_000_000, "mega", big),       # scale headline, 256-row tiles
+    for n_ray, backend, steps, kw in [
+        (100_000, "mega", n_steps, {}),  # metric of record, VMEM-resident
+        (100_000, "pallasw", n_steps, {}),
+        (131_072, "mega", n_steps, {}),  # resident-kernel capacity point
+        (1_000_000, "mega", big, {}),    # north star, HBM-streaming
+        (1_000_000, "pallasw", big, {}),
+        (1_000_000, "mxu", big, {}),
+        (10_000_000, "mega", big, {}),   # scale headline, 256-row tiles
+        # launch-boundary height re-sort (VERDICT r3 #1): multi-launch
+        # long runs, sorted vs unsorted, with end-of-run fallback rates.
+        # NB the fallback diagnostic sees the returned SLOT-ordered state
+        # (= the unsorted kernel's true internal layout; the sorted
+        # kernel's internal layout is 1 launch past its last boundary
+        # sort — see benchmarks/RESULTS.md, launch-sort section).
+        (1_000_000, "mega", 5 * big,
+         dict(save_every=big, launch_sort="off")),
+        (1_000_000, "mega", 5 * big,
+         dict(save_every=big, launch_sort="on")),
+        (10_000_000, "mega", 3 * big,
+         dict(save_every=big, launch_sort="off")),
+        (10_000_000, "mega", 3 * big,
+         dict(save_every=big, launch_sort="on")),
     ]:
-        rows.append(run_one(n_ray, steps, backend, fallback=True))
+        rows.append(run_one(n_ray, steps, backend, fallback=True, **kw))
         print(json.dumps(rows[-1]), flush=True)
     return rows
 
@@ -261,9 +348,28 @@ def cli(argv=None):
     ap.add_argument("--fallback", action="store_true",
                     help="report the window-fallback rate at run end "
                          "(pallasw/mega backends)")
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="kernel-launch window (steps per launch; 0 = one "
+                         "whole-run launch).  Multi-launch runs exercise "
+                         "the launch-boundary height re-sort")
+    ap.add_argument("--launch-sort", choices=["auto", "on", "off"],
+                    default="auto",
+                    help="streaming megakernel launch-boundary height "
+                         "re-sort (auto = library rule)")
+    ap.add_argument("--grad", action="store_true",
+                    help="adjoint benchmark: jax.grad through the coupled "
+                         "run at --n-ray (default 100 steps; --steps "
+                         "overrides when < 1000)")
+    ap.add_argument("--grad-remat", choices=["on", "off"], default="on",
+                    help="jax.checkpoint block remat for --grad (off OOMs "
+                         "at 1e6 rays beyond a few hundred steps)")
     args = ap.parse_args(argv)
     enable_persistent_compile_cache()  # after parsing: --help stays cheap
-    if args.matrix:
+    if args.grad:
+        steps = args.steps if args.steps < 1000 else 100
+        print(json.dumps(run_grad(args.n_ray, steps,
+                                  remat=args.grad_remat == "on")))
+    elif args.matrix:
         rows = run_matrix(args.steps)
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "benchmarks", "BENCH_MATRIX.json")
@@ -278,7 +384,8 @@ def cli(argv=None):
             print(json.dumps(run_one(args.n_ray, args.steps, backend, accum)))
     elif (args.backend == "mega" and args.accum == "native"
           and not args.sharded and not args.fallback and not args.w2
-          and not args.w1
+          and not args.w1 and not args.save_every
+          and args.launch_sort == "auto"
           and args.n_ray == N_RAY and args.steps == N_STEPS):
         # bare `python bench.py` (the driver invocation): metric of record
         # plus the embedded 1e6 north-star measurement
@@ -286,7 +393,9 @@ def cli(argv=None):
     else:
         print(json.dumps(run_one(args.n_ray, args.steps, args.backend,
                                  args.accum, args.sharded, args.fallback,
-                                 w2=args.w2, w1=args.w1)))
+                                 w2=args.w2, w1=args.w1,
+                                 save_every=args.save_every,
+                                 launch_sort=args.launch_sort)))
 
 
 if __name__ == "__main__":

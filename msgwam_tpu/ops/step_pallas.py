@@ -630,7 +630,8 @@ def build_operators(bg, cfg, n_tab: int, c_pad: int):
 
 
 def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False,
-                      source=None, wind_fn=None, t0: float = 0.0):
+                      source=None, wind_fn=None, t0: float = 0.0,
+                      launch_sort=None):
     """Drop-in fast path for ``simulate``: runs whole RK3 steps in-kernel.
 
     When the config enables the per-step lifecycle (``cfg.cull`` /
@@ -656,11 +657,13 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False,
 
         return simulate_streaming(state, statics, bg, cfg, run,
                                   include_t0=include_t0, source=source,
-                                  wind_fn=wind_fn, t0=t0)
+                                  wind_fn=wind_fn, t0=t0,
+                                  launch_sort=launch_sort)
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
     def diff(s, st, cfg_, run_, inc):
-        return _simulate_resident_impl(s, st, bg, cfg_, run_, inc)
+        return _simulate_resident_impl(s, st, bg, cfg_, run_, inc,
+                                       launch_sort=launch_sort)
 
     def fwd(s, st, cfg_, run_, inc):
         return diff(s, st, cfg_, run_, inc), (s, st)
@@ -688,7 +691,7 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False,
 
 
 def _simulate_resident_impl(state, statics, bg, cfg, run,
-                            include_t0: bool = False):
+                            include_t0: bool = False, launch_sort=None):
     """Drop-in fast path for ``simulate`` on VMEM-sized problems: runs
     ``run.n_steps`` steps as ``n_steps // save_every`` megakernel launches
     (each launch = ``save_every`` full RK3 steps resident in VMEM).
@@ -753,7 +756,8 @@ def _simulate_resident_impl(state, statics, bg, cfg, run,
         from .step_pallas_stream import simulate_streaming
 
         return simulate_streaming(state, statics, bg, cfg, run,
-                                  include_t0=include_t0)
+                                  include_t0=include_t0,
+                                  launch_sort=launch_sort)
 
     n_tab = bg.centers.shape[0]
     n_flux_cells = n_tab - 1

@@ -71,6 +71,11 @@ from ..constants import ROT_EARTH
 
 LANE = 128
 TILE_ROWS = 64            # 8192 rays per streamed tile
+# launch-boundary height re-sort default: on at and above this ray count
+# (where the windowed tiers dominate and the ~5 ms amortized sort is <2%
+# of a launch), off below (the resident kernel owns that regime anyway).
+# Measured on TPU v5e: see benchmarks/RESULTS.md (launch-sort section).
+LAUNCH_SORT_MIN = 500_000
 
 (_G0C, _DZ, _G0F, _DT, _BVF, _KAPPA, _F0, _RDIV,
  _MMAX, _FLO, _FHI) = range(11)
@@ -954,6 +959,7 @@ def _auto_tile_rows(n: int, lifecycle: bool = False) -> int:
 def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
                        tile_rows: int = 0,
                        source=None, wind_fn=None, t0: float = 0.0,
+                       launch_sort=None,
                        _ablate: str = ""):
     """Whole-run streaming megakernel driver: same contract and history
     framing as :func:`msgwam_tpu.ops.step_pallas.simulate_resident`, with
@@ -961,6 +967,20 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
     ``n_steps // save_every`` launches of ``save_every`` in-kernel RK3
     steps each.  ``tile_rows`` (streamed-tile height in 128-lane rows)
     defaults to 0 = pick by problem size (:func:`_auto_tile_rows`).
+
+    ``launch_sort`` re-sorts every per-ray array by height at each launch
+    boundary (once per ``save_every`` in-kernel steps), restoring the
+    height coherence the adaptive window tiers rely on as rays disperse
+    over a long run.  ONE stable multi-operand ``lax.sort`` moves all
+    slabs together (~5 ms at 1e6 rays, measured — vs ~190 ms for
+    per-array gathers, the cost that rightly killed *per-step* sorting,
+    models/integrate.py ``sort_every``).  Slot identity is preserved
+    exactly: an int32 slot array rides the sort, history frames and the
+    final state are unpermuted back to the caller's original slot order,
+    so per-slot semantics (the reference's ``raytracer.py:124-150``
+    history layout) hold; only flux-reduction order differs (last-ulp).
+    ``None`` (default) resolves to the measured champion rule:
+    on at ``n >= LAUNCH_SORT_MIN`` rays, off below.
 
     ``_ablate`` is a profiling-only switch (``tools/floor_ablation.py``)
     that compile-time-strips parts of the per-tile work to decompose the
@@ -1046,13 +1066,77 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
     else:
         src_slabs = None
 
+    if launch_sort is None:
+        # auto: only multi-launch runs have mid-run boundaries to re-sort
+        # at — a single whole-run launch from the usual (height-sorted)
+        # source ICs would pay the ~5 ms sort for nothing (measured:
+        # decay-driven fallback saturates within the first ~1000 steps,
+        # so only boundary re-sorts recover throughput; RESULTS.md)
+        launch_sort = (n >= LAUNCH_SORT_MIN
+                       and run.n_steps > run.save_every)
+    use_sort = bool(launch_sort)
+    n_frozen = len(statics_fields)
+    n_src = 4 if do_relaunch else 0
+    slab_shape = (n_pad // LANE, LANE)
+    flat = lambda x: x.reshape(-1)
+    resh = lambda x: x.reshape(slab_shape)
+
+    def _sort_slabs(dens, r, m, act_c, frozen, src, slot):
+        # Height-sort EVERY per-ray slab (state + frozen fields + relaunch
+        # template + slot identity) in ONE stable multi-operand lax.sort.
+        # Inactive / pad slots (act == 0) key to +inf so live rays stay in
+        # one height-local block at the front.
+        act = act_c if act_c is not None else frozen[7]
+        key = jnp.where(flat(act) > 0.0, flat(r), jnp.float32(jnp.inf))
+        ops = [flat(dens), flat(r), flat(m)]
+        if act_c is not None:
+            ops.append(flat(act_c))
+        ops += [flat(x) for x in frozen]
+        if src is not None:
+            ops += [flat(x) for x in src]
+        ops.append(slot)
+        out = jax.lax.sort((key, *ops), num_keys=1, is_stable=True)[1:]
+        dens, r, m = resh(out[0]), resh(out[1]), resh(out[2])
+        i = 3
+        if act_c is not None:
+            act_c = resh(out[i])
+            i += 1
+        frozen = tuple(resh(x) for x in out[i:i + n_frozen])
+        i += n_frozen
+        if src is not None:
+            src = tuple(resh(x) for x in out[i:i + n_src])
+            i += n_src
+        return dens, r, m, act_c, frozen, src, out[i]
+
+    def _unpermute(slot, slabs):
+        # express per-ray slabs in the caller's original slot order: one
+        # multi-operand sort keyed on the slot ids (cheaper than
+        # argsort + per-array gathers, same reasoning as _sort_slabs)
+        out = jax.lax.sort((slot, *[flat(x) for x in slabs]),
+                           num_keys=1, is_stable=True)[1:]
+        return tuple(resh(x) for x in out)
+
     def chunk(carry, ci):
-        dens, r, m, uvT = carry[:4]
-        act_c = carry[4] if do_cull else None
+        if use_sort:
+            dens, r, m, uvT = carry[:4]
+            i = 4
+            act_c = carry[i] if do_cull else None
+            i += 1 if do_cull else 0
+            frozen = carry[i:i + n_frozen]
+            i += n_frozen
+            src = carry[i:i + n_src] if do_relaunch else None
+            i += n_src
+            slot = carry[i]
+            dens, r, m, act_c, frozen, src, slot = _sort_slabs(
+                dens, r, m, act_c, frozen, src, slot)
+        else:
+            dens, r, m, uvT = carry[:4]
+            act_c = carry[4] if do_cull else None
+            frozen, src, slot = statics_fields, src_slabs, None
         wt = None if wind_fn is None else \
             _wind_table(wind_fn, t0, ci, S, dt_f, n_tab, c_pad)
         outs = _streamkernel_call(
-            params, maps, cols, uvT, *statics_fields,
+            params, maps, cols, uvT, *frozen,
             dens, r, m,
             n_steps=S, n_tab=n_tab,
             n_flux_cells=n_flux_cells, w_cells=w_cells,
@@ -1060,21 +1144,41 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
             prognostic=bool(cfg.prognostic_mean),
             faithful=bool(cfg.faithful_saturation),
             interpret=interpret, t_rows=tile_rows,
-            wind=wt, src=src_slabs, act_s=act_c,
+            wind=wt, src=src, act_s=act_c,
             cull=do_cull, relaunch=do_relaunch,
             ablate=_ablate, w2_cells=w2_cells,
         )
         dens, r, m, uvT, pp = outs[:5]
-        new_carry = (dens, r, m, uvT) + ((outs[5],) if do_cull else ())
-        return new_carry, new_carry[:4] + (pp,) + new_carry[4:]
+        state_new = (dens, r, m, uvT) + ((outs[5],) if do_cull else ())
+        if not use_sort:
+            return state_new, state_new[:4] + (pp,) + state_new[4:]
+        new_carry = state_new + tuple(frozen) \
+            + (tuple(src) if do_relaunch else ()) + (slot,)
+        # history frames leave the chunk already in original slot order,
+        # so the post-scan framing below is permutation-blind
+        emit = (dens, r, m) + ((state_new[4],) if do_cull else ()) + (pp,)
+        emit = _unpermute(slot, emit)
+        hist_out = emit[:3] + (uvT, emit[-1]) + (emit[3:4] if do_cull else ())
+        return new_carry, hist_out
 
     carry0 = (shape2(rays.dens), shape2(rays.r), shape2(rays.m),
               colpad(mean.u, mean.v))
     if do_cull:
         carry0 = carry0 + (
             shape2(statics.active.astype(jnp.float32), fill=0.0),)
+    if use_sort:
+        carry0 = carry0 + tuple(statics_fields) \
+            + (tuple(src_slabs) if do_relaunch else ()) \
+            + (jnp.arange(n_pad, dtype=jnp.int32),)
     n_outer = run.n_steps // run.save_every
     carry, hist = jax.lax.scan(chunk, carry0, jnp.arange(n_outer))
+    if use_sort:
+        # final carry is in launch-sorted order; restore slot identity
+        slot_f = carry[-1]
+        state_f = _unpermute(slot_f, carry[:3]
+                             + (carry[4:5] if do_cull else ()))
+        carry = state_f[:3] + (carry[3],) \
+            + (state_f[3:4] if do_cull else ())
 
     n_cell = mean.u.shape[0]
 
