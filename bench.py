@@ -53,7 +53,7 @@ BASELINE_RAY_STEPS_PER_SEC = 3.0e4
 
 
 def _setup(n_ray: int, backend: str, accum: str, w2: int = 0,
-           w1: int = 0):
+           w1: int = 0, alpha: float = 0.003):
     cfg = mt.REFERENCE_RUN_CONFIG.replace(
         saturate_online=True,
         dtype="float32",
@@ -77,7 +77,7 @@ def _setup(n_ray: int, backend: str, accum: str, w2: int = 0,
     rays, statics = mt.gaussian_spectrum_source(
         cfg, bg, n_ray,
         z_launch=2000.0, dz_launch=500.0,
-        amplitude_alpha=0.003,  # keep total forcing physical at 1e5 rays
+        amplitude_alpha=alpha,  # default keeps total forcing physical at 1e5
         dtype=jnp.float32,
     )
     state = mt.State(rays, mt.MeanState(jnp.asarray(uu), jnp.asarray(vv)))
@@ -212,8 +212,18 @@ def run_grad(n_ray: int, n_steps: int = 100, remat: bool = True) -> dict:
     ``remat=True`` (the production setting) uses ``simulate(remat=True)``
     with ``save_every ~ sqrt(n_steps)``: the backward stores one state
     snapshot per block instead of per step (~50 MB/step at 1e6 rays —
-    an OOM a few hundred steps in without it)."""
-    cfg, bg, state, statics = _setup(n_ray, "mxu", "native")
+    an OOM a few hundred steps in without it).
+
+    The source amplitude is normalized so TOTAL wave action is the same
+    at every ray count (alpha ~ 1/sqrt(n_ray); per-ray dens ~ alpha^2 and
+    all rays share one launch layer, so total forcing ~ n_ray * alpha^2):
+    finer ray discretizations of the SAME physical wave field.  Without
+    this, 1e6 rays = 10x the physical forcing, the coupled wind feedback
+    blows the forward up within ~100 steps, and the gradient is Inf — a
+    physics fact about over-forcing, not a numerics bug (measured: loss
+    94 -> 1.4e5 between steps 50 and 100 at 1e6, unnormalized)."""
+    alpha = 0.003 * min(1.0, (1e5 / n_ray) ** 0.5)
+    cfg, bg, state, statics = _setup(n_ray, "mxu", "native", alpha=alpha)
     save = max(1, round(n_steps ** 0.5))
     while n_steps % save:
         save -= 1
@@ -254,7 +264,7 @@ def run_grad(n_ray: int, n_steps: int = 100, remat: bool = True) -> dict:
     result = {
         "metric": f"adjoint (value+grad) ray-steps/sec at {n_ray:,} rays "
                   f"(coupled run, {n_steps} steps, "
-                  f"remat={'on' if remat else 'off'})",
+                  f"remat={remat if isinstance(remat, str) else ('on' if remat else 'off')})",
         "value": round(rs, 1),
         "unit": "ray-steps/s",
         "vs_baseline": round(rs / BASELINE_RAY_STEPS_PER_SEC, 1),
@@ -360,15 +370,23 @@ def cli(argv=None):
                     help="adjoint benchmark: jax.grad through the coupled "
                          "run at --n-ray (default 100 steps; --steps "
                          "overrides when < 1000)")
-    ap.add_argument("--grad-remat", choices=["on", "off"], default="on",
-                    help="jax.checkpoint block remat for --grad (off OOMs "
-                         "at 1e6 rays beyond a few hundred steps)")
+    ap.add_argument("--grad-remat", choices=["auto", "on", "full", "off"],
+                    default="auto",
+                    help="jax.checkpoint remat for --grad: on = per-block "
+                         "(sqrt-memory), full = per-block + per-step "
+                         "(needed at >=1e6 rays; 85 GB HBM without), "
+                         "auto = full at >=5e5 rays else on, off = none "
+                         "(OOMs at 1e6 beyond a few hundred steps)")
     args = ap.parse_args(argv)
     enable_persistent_compile_cache()  # after parsing: --help stays cheap
     if args.grad:
         steps = args.steps if args.steps < 1000 else 100
+        remat = args.grad_remat
+        if remat == "auto":
+            remat = "full" if args.n_ray >= 500_000 else "on"
         print(json.dumps(run_grad(args.n_ray, steps,
-                                  remat=args.grad_remat == "on")))
+                                  remat={"on": True, "off": False}.get(
+                                      remat, remat))))
     elif args.matrix:
         rows = run_matrix(args.steps)
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -69,6 +69,17 @@ BACKGROUNDS = {
     "zero": None,
 }
 
+# Named TRANSIENT backgrounds (VERDICT r3 #5): a JSON config cannot carry
+# a wind_fn callable, so ``"background": {"kind": "tidal", ...}`` names one
+# from this registry instead; extra keys are keyword arguments for the
+# factory (models/backgrounds.py).  Each entry maps to a function
+# f(centers, t, cfg, **params) -> u(z, t); v is zero.  This makes
+# BASELINE.json configs[3] (tidal shear + critical-level cull + relaunch)
+# an end-to-end driver experience — see examples/config4.json.
+TRANSIENT_BACKGROUNDS = {
+    "tidal": "tidal_shear",
+}
+
 
 def _load_config(args) -> dict:
     if args.config:
@@ -165,11 +176,26 @@ def run_experiment(
     run = RunConfig(**spec.get("run", {}))
 
     centers = jnp.asarray(gc.centers(), dtype)
-    bg_name = BACKGROUNDS[spec.get("background", "sine")]
-    if bg_name is None:
-        uu = jnp.zeros_like(centers)
+    bg_spec = spec.get("background", "sine")
+    wind_fn = None
+    if isinstance(bg_spec, dict):
+        kind = bg_spec.get("kind")
+        if kind not in TRANSIENT_BACKGROUNDS:
+            raise ValueError(
+                f"unknown transient background kind {kind!r}; "
+                f"known: {sorted(TRANSIENT_BACKGROUNDS)}")
+        params = {k: v for k, v in bg_spec.items() if k != "kind"}
+        fn = getattr(_models, TRANSIENT_BACKGROUNDS[kind])
+        zeros = jnp.zeros_like(centers)
+        wind_fn = lambda t: (fn(centers, t, cfg, **params).astype(dtype),
+                             zeros)
+        uu = wind_fn(0.0)[0]  # hydrostatics/pressure gradient use t=0
     else:
-        uu = getattr(_models, bg_name)(centers, cfg).astype(dtype)
+        bg_name = BACKGROUNDS[bg_spec]
+        if bg_name is None:
+            uu = jnp.zeros_like(centers)
+        else:
+            uu = getattr(_models, bg_name)(centers, cfg).astype(dtype)
     vv = jnp.zeros_like(uu)
     bg = make_background(gc, cfg, uu, vv, dtype=dtype)
 
@@ -231,20 +257,31 @@ def run_experiment(
         else:
             use_mega = True
 
+    # every sim takes the chunk's physical start time as a TRACED scalar:
+    # with --log-every the run is host-chunked, and a transient wind_fn
+    # must continue its phase across chunks (a closed-over constant t0
+    # would restart the tide every chunk)
     if use_mega:
         from .ops.step_pallas import simulate_resident
 
         sim = jax.jit(
-            lambda s, st, r: simulate_resident(s, st, bg, cfg, r,
-                                               source=source, t0=t0),
+            lambda s, st, r, toff: simulate_resident(s, st, bg, cfg, r,
+                                                     source=source,
+                                                     wind_fn=wind_fn,
+                                                     t0=toff),
             static_argnums=(2,),
         )
     elif shard:
+        if wind_fn is not None:
+            raise ValueError(
+                "--shard does not support transient backgrounds (the "
+                "sharded scan path has no wind_fn threading); drop "
+                "--shard or use a static background")
         # rays sharded over all visible devices; one psum per RHS
         # evaluation at the flux reduction (parallel/sharding.py).  The
-        # sharded scan path takes no t0: CLI backgrounds are static wind
-        # profiles (a JSON config cannot carry a wind_fn callable), so t0
-        # only shapes the output time axis, which is handled below.
+        # sharded scan path takes no t0: sharded backgrounds are static
+        # wind profiles (transient ones are rejected above), so t0 only
+        # shapes the output time axis, which is handled below.
         from .parallel import (
             full_history_observe, full_history_observe_spec, make_mesh,
             sharded_simulate,
@@ -261,7 +298,7 @@ def run_experiment(
         print(f"--shard: rays split over {n_dev} device(s)")
         from jax.sharding import NamedSharding, PartitionSpec
 
-        def sim(s, st, r):
+        def sim(s, st, r, toff):  # toff unused: transient bgs rejected above
             f, sf, h = sharded_simulate(
                 mesh, s, st, bg, cfg, r,
                 observe=full_history_observe,
@@ -274,7 +311,8 @@ def run_experiment(
             return f, sf, h
     else:
         sim = jax.jit(
-            lambda s, st, r: simulate(s, st, bg, cfg, r, source=source, t0=t0),
+            lambda s, st, r, toff: simulate(s, st, bg, cfg, r, source=source,
+                                            wind_fn=wind_fn, t0=toff),
             static_argnums=(2,),
         )
     if log_every:
@@ -302,7 +340,8 @@ def run_experiment(
         diag_pieces = []  # per-chunk diagnostics (streamed mode: small)
         uv_frames = []    # (frames, n_cell) wind profiles (streamed mode)
         for start in range(0, run.n_steps, log_every):
-            state, statics, h = sim(state, statics, chunk)
+            state, statics, h = sim(state, statics, chunk,
+                                    t0 + start * run.dt)
             jax.block_until_ready(state)
             logger.record(
                 start + log_every,
@@ -340,7 +379,7 @@ def run_experiment(
             hist = jax.tree.map(lambda *xs: jnp.concatenate(xs), *pieces)
         final, statics_f = state, statics
     else:
-        final, statics_f, hist = sim(state, statics, run)
+        final, statics_f, hist = sim(state, statics, run, t0)
 
     os.makedirs(out_dir, exist_ok=True)
     ckpt = os.path.join(out_dir, "final_state.npz")
