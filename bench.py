@@ -53,9 +53,10 @@ BASELINE_RAY_STEPS_PER_SEC = 3.0e4
 
 
 def _setup(n_ray: int, backend: str, accum: str, w2: int = 0,
-           w1: int = 0, alpha: float = 0.003):
+           w1: int = 0, alpha: float = 0.003, hprop: bool = False):
     cfg = mt.REFERENCE_RUN_CONFIG.replace(
         saturate_online=True,
+        hprop=hprop,
         dtype="float32",
         projection_backend="xla" if backend == "xla" else "mxu",
         interp_backend="gather" if backend == "xla" else "mxu",
@@ -88,7 +89,14 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
             backend: str = "mega", accum: str = "native",
             sharded: bool = False, fallback: bool = False,
             w2: int = 0, w1: int = 0, save_every: int = 0,
-            launch_sort: str = "auto") -> dict:
+            launch_sort: str = "auto", hprop: bool = False) -> dict:
+    if hprop and backend in ("pallas", "pallasw", "mega"):
+        # the pallas kernel family scopes to hprop=False (frozen
+        # positions/horizontal wavenumbers); spherical propagation runs
+        # through the scan backends — see the scope matrix in RESULTS.md
+        raise ValueError(
+            f"--hprop requires --backend mxu or xla (the {backend!r} "
+            "kernels scope to hprop=False)")
     if backend == "mega" and sharded:
         # the megakernel family is single-chip; the sharded path runs the
         # adaptive-window fused-RHS kernel per shard
@@ -102,7 +110,8 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
 
         ch = resolve_champion(n_ray)
         w1, w2 = ch["window_cells"], ch["window_cells2"]
-    cfg, bg, state, statics = _setup(n_ray, backend, accum, w2, w1)
+    cfg, bg, state, statics = _setup(n_ray, backend, accum, w2, w1,
+                                     hprop=hprop)
     run = mt.RunConfig(dt=DT, n_steps=n_steps,
                        save_every=save_every or n_steps)
     # launch-boundary height re-sort (streaming megakernel): auto = the
@@ -161,7 +170,7 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
 
     ray_steps_per_sec = n_ray * n_steps / best
     label = backend + ("+" + accum if accum != "native" else "") \
-        + ("+sharded" if sharded else "") \
+        + ("+sharded" if sharded else "") + ("+hprop" if hprop else "") \
         + (f"+w1={w1}" if w1 else "") + (f"+w2={w2}" if w2 else "") \
         + (f"+sort={launch_sort}" if launch_sort != "auto" else "") \
         + (f"+save={save_every}" if save_every else "")
@@ -370,20 +379,26 @@ def cli(argv=None):
                     help="adjoint benchmark: jax.grad through the coupled "
                          "run at --n-ray (default 100 steps; --steps "
                          "overrides when < 1000)")
+    ap.add_argument("--hprop", action="store_true",
+                    help="spherical horizontal propagation on (scan "
+                         "backends only: --backend mxu or xla; the pallas "
+                         "kernel family scopes to hprop=False)")
     ap.add_argument("--grad-remat", choices=["auto", "on", "full", "off"],
                     default="auto",
-                    help="jax.checkpoint remat for --grad: on = per-block "
-                         "(sqrt-memory), full = per-block + per-step "
-                         "(needed at >=1e6 rays; 85 GB HBM without), "
-                         "auto = full at >=5e5 rays else on, off = none "
-                         "(OOMs at 1e6 beyond a few hundred steps)")
+                    help="jax.checkpoint remat for --grad: full (= auto) is "
+                         "per-block + per-step — required at 1e6 rays "
+                         "(85 GB HBM without) AND 4.2x faster even at 1e5 "
+                         "(ratio 4.61 vs 19.76: the block backward is "
+                         "bandwidth-bound on 99-wide residuals); on = "
+                         "per-block only, off = none (OOMs at 1e6 beyond "
+                         "a few hundred steps)")
     args = ap.parse_args(argv)
     enable_persistent_compile_cache()  # after parsing: --help stays cheap
     if args.grad:
         steps = args.steps if args.steps < 1000 else 100
         remat = args.grad_remat
         if remat == "auto":
-            remat = "full" if args.n_ray >= 500_000 else "on"
+            remat = "full"  # measured fastest at every size (see --help)
         print(json.dumps(run_grad(args.n_ray, steps,
                                   remat={"on": True, "off": False}.get(
                                       remat, remat))))
@@ -402,7 +417,7 @@ def cli(argv=None):
             print(json.dumps(run_one(args.n_ray, args.steps, backend, accum)))
     elif (args.backend == "mega" and args.accum == "native"
           and not args.sharded and not args.fallback and not args.w2
-          and not args.w1 and not args.save_every
+          and not args.w1 and not args.save_every and not args.hprop
           and args.launch_sort == "auto"
           and args.n_ray == N_RAY and args.steps == N_STEPS):
         # bare `python bench.py` (the driver invocation): metric of record
@@ -413,7 +428,8 @@ def cli(argv=None):
                                  args.accum, args.sharded, args.fallback,
                                  w2=args.w2, w1=args.w1,
                                  save_every=args.save_every,
-                                 launch_sort=args.launch_sort)))
+                                 launch_sort=args.launch_sort,
+                                 hprop=args.hprop)))
 
 
 if __name__ == "__main__":

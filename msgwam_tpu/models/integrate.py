@@ -326,7 +326,10 @@ def simulate(
     Peak adjoint memory becomes ``(n_steps/save_every + save_every)``
     state snapshots plus one step's residuals, at the cost of one more
     forward replay per step in the backward sweep.  Required for
-    1e6-ray adjoints; at 1e5 plain ``True`` is faster.
+    1e6-ray adjoints — and measured FASTER at every size (1e5/100 steps
+    on the TPU: backward:forward 4.61 vs 19.76 for plain ``True``; the
+    block backward is HBM-bandwidth-bound on its 99-wide residuals,
+    so recomputing beats re-reading them).
 
     ``wind_fn(t) -> (u, v)`` prescribes a transient imposed background
     (e.g. :func:`msgwam_tpu.models.backgrounds.tidal_shear`): the mean wind

@@ -55,9 +55,30 @@ def saturation_cap(
     ff = 2.0 * ROT_EARTH * jnp.sin(phi0)
     omh = omega(k, l, m, phi0, bvf)  # reference uses *pre-step* m and phi0
     phase_volume = dkk * dll * dmm_final
-    max_dens_final = (
-        kappa * kappa * 0.5 * rhobar_final * omh * bvf * bvf
-        / (m_final * m_final) / (omh * omh - ff * ff)
+
+    # GRAD-SAFE singular divisions.  When a ray's m crosses zero within a
+    # step, m_final^2 lands in (or below) f32 denormal range — the TPU
+    # flushes it to 0, the cap becomes inf, and although the forward is
+    # unaffected (an astronomically large cap is never selected by
+    # `exceed`), the backward of the division then emits inf * 0 = NaN
+    # through the jnp.where cotangent, poisoning every gradient entry
+    # (measured: a 1e6-ray 100-step jax.grad, min |m_final| 5.8e-11).
+    # The double-where pattern keeps the forward value bit-identical
+    # whenever the denominators are healthy (same two divisions, same
+    # order) and caps the backward's 1/den^2 factors: thresholds sit
+    # where the partials stay comfortably inside f32 range while the
+    # guarded caps (>= ~1e21) remain unselectable by any physical
+    # density.  `bad` rays get an explicitly infinite cap = "unsaturable
+    # this step", which is also the correct m -> 0 physics limit.
+    m2 = m_final * m_final
+    d2 = omh * omh - ff * ff
+    eps = jnp.asarray(1e-14, m2.dtype)
+    bad = (m2 <= eps) | (d2 <= eps)
+    m2s = jnp.where(m2 <= eps, 1.0, m2)
+    d2s = jnp.where(d2 <= eps, 1.0, d2)
+    max_dens_final = jnp.where(
+        bad, jnp.inf,
+        kappa * kappa * 0.5 * rhobar_final * omh * bvf * bvf / m2s / d2s,
     )
     return max_dens_final, phase_volume
 

@@ -631,8 +631,14 @@ def build_operators(bg, cfg, n_tab: int, c_pad: int):
 
 def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False,
                       source=None, wind_fn=None, t0: float = 0.0,
-                      launch_sort=None):
+                      launch_sort=None, observe=None):
     """Drop-in fast path for ``simulate``: runs whole RK3 steps in-kernel.
+
+    ``observe(state, statics, aux) -> pytree`` (same contract as
+    :func:`msgwam_tpu.simulate`) reduces each history frame on device
+    before stacking; without it the history stacks full ray states, which
+    is an OOM cliff at large ray counts and fine save cadence (see
+    ``step_pallas_stream.simulate_streaming``'s history-memory note).
 
     When the config enables the per-step lifecycle (``cfg.cull`` /
     ``cfg.relaunch`` with a ``source`` template, or a prescribed transient
@@ -658,12 +664,13 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False,
         return simulate_streaming(state, statics, bg, cfg, run,
                                   include_t0=include_t0, source=source,
                                   wind_fn=wind_fn, t0=t0,
-                                  launch_sort=launch_sort)
+                                  launch_sort=launch_sort, observe=observe)
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
     def diff(s, st, cfg_, run_, inc):
         return _simulate_resident_impl(s, st, bg, cfg_, run_, inc,
-                                       launch_sort=launch_sort)
+                                       launch_sort=launch_sort,
+                                       observe=observe)
 
     def fwd(s, st, cfg_, run_, inc):
         return diff(s, st, cfg_, run_, inc), (s, st)
@@ -681,7 +688,7 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False,
 
         def generic(s_, st_):
             return simulate(s_, st_, bg, xla_cfg, run_,
-                            include_t0=inc, validate=False)
+                            include_t0=inc, observe=observe, validate=False)
 
         _, vjp = jax.vjp(generic, s, st)
         return vjp(g)
@@ -691,7 +698,8 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False,
 
 
 def _simulate_resident_impl(state, statics, bg, cfg, run,
-                            include_t0: bool = False, launch_sort=None):
+                            include_t0: bool = False, launch_sort=None,
+                            observe=None):
     """Drop-in fast path for ``simulate`` on VMEM-sized problems: runs
     ``run.n_steps`` steps as ``n_steps // save_every`` megakernel launches
     (each launch = ``save_every`` full RK3 steps resident in VMEM).
@@ -757,7 +765,7 @@ def _simulate_resident_impl(state, statics, bg, cfg, run,
 
         return simulate_streaming(state, statics, bg, cfg, run,
                                   include_t0=include_t0,
-                                  launch_sort=launch_sort)
+                                  launch_sort=launch_sort, observe=observe)
 
     n_tab = bg.centers.shape[0]
     n_flux_cells = n_tab - 1
@@ -814,23 +822,6 @@ def _simulate_resident_impl(state, statics, bg, cfg, run,
 
     w_cells, w2_cells = resolve_window_cells(cfg, c_pad)
 
-    def chunk(carry, _):
-        dens, r, m, uvT = carry
-        dens, r, m, uvT, dens_prop = _megakernel_call(
-            params, maps, cols, dens, r, m, uvT, *statics_fields,
-            n_steps=run.save_every, n_tab=n_tab, n_flux_cells=n_flux_cells,
-            online=bool(cfg.saturate_online),
-            prognostic=bool(cfg.prognostic_mean),
-            faithful=bool(cfg.faithful_saturation),
-            interpret=interpret, w_cells=w_cells, w2_cells=w2_cells,
-        )
-        return (dens, r, m, uvT), (dens, r, m, uvT, dens_prop)
-
-    carry0 = (shape2(rays.dens), shape2(rays.r), shape2(rays.m),
-              colpad(mean.u, mean.v))
-    n_outer = run.n_steps // run.save_every
-    carry, hist = jax.lax.scan(chunk, carry0, None, length=n_outer)
-
     n_cell = mean.u.shape[0]
 
     def to_state(dens, r, m, uvT, like_dtype):
@@ -845,7 +836,46 @@ def _simulate_resident_impl(state, statics, bg, cfg, run,
                        uvT[:n_cell, 1].astype(like_dtype))
         return State(rs, ms)
 
+    def chunk(carry, _):
+        dens, r, m, uvT = carry
+        dens, r, m, uvT, dens_prop = _megakernel_call(
+            params, maps, cols, dens, r, m, uvT, *statics_fields,
+            n_steps=run.save_every, n_tab=n_tab, n_flux_cells=n_flux_cells,
+            online=bool(cfg.saturate_online),
+            prognostic=bool(cfg.prognostic_mean),
+            faithful=bool(cfg.faithful_saturation),
+            interpret=interpret, w_cells=w_cells, w2_cells=w2_cells,
+        )
+        hist_out = (dens, r, m, uvT, dens_prop)
+        if observe is not None:
+            # reduce the frame on device inside the scan (history-memory
+            # note: simulate_streaming's docstring)
+            from ..models.integrate import StepAux
+
+            hist_out = observe(
+                to_state(dens, r, m, uvT, rays.dens.dtype), statics,
+                StepAux(dens_prop=unshape(dens_prop)
+                        .astype(rays.dens.dtype)))
+        return (dens, r, m, uvT), hist_out
+
+    carry0 = (shape2(rays.dens), shape2(rays.r), shape2(rays.m),
+              colpad(mean.u, mean.v))
+    n_outer = run.n_steps // run.save_every
+    carry, hist = jax.lax.scan(chunk, carry0, None, length=n_outer)
+
     final = to_state(*carry, rays.dens.dtype)
+
+    if observe is not None:
+        history = hist
+        if include_t0:
+            from ..models.integrate import StepAux
+
+            obs0 = observe(state, statics,
+                           StepAux(dens_prop=state.rays.dens))
+            history = jax.tree.map(
+                lambda o0, h: jnp.concatenate([jnp.asarray(o0)[None], h]),
+                obs0, history)
+        return final, statics, history
 
     hd, hr, hm, huv, hpp = hist
     frames = [

@@ -241,16 +241,31 @@ def _kernel(
             pad8 = jnp.concatenate(
                 [jnp.eye(2, dtype=jnp.float32),
                  jnp.zeros((2, 6), jnp.float32)], axis=1)
-            wrow = jax.lax.dot_general(
-                wind_ref[0], pad8,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                               # (c_pad, 8)
-            # the imposed wind is a shared function of time (e.g. tidal
-            # shear), so every ensemble member's column block gets the
-            # same row — a static loop, once per step
-            for e in range(n_members):
-                uv_s[pl.ds(e * c_pad, c_pad), :] = wrow
+            w_all = wind_ref[0]        # (2, c_pad) shared | (2E, c_pad)
+            if w_all.shape[0] == 2:
+                # member-SHARED wind (e.g. one tidal phase): one dot, the
+                # same row written to every member's block — a static
+                # loop, once per step
+                wrow = jax.lax.dot_general(
+                    w_all, pad8,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                           # (c_pad, 8)
+                for e in range(n_members):
+                    uv_s[pl.ds(e * c_pad, c_pad), :] = wrow
+            else:
+                # per-MEMBER wind table (stochastic-background ensembles,
+                # BASELINE config 5's spirit): rows [2e, 2e+2) hold member
+                # e's (u, v) for this step
+                for e in range(n_members):
+                    wrow = jax.lax.dot_general(
+                        jax.lax.slice(w_all, (2 * e, 0),
+                                      (2 * e + 2, w_all.shape[1])),
+                        pad8,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    uv_s[pl.ds(e * c_pad, c_pad), :] = wrow
 
     # --- per-stage setup (once per stage, every member's table) -----------
     @pl.when((tl == 0) & (st < 3))
@@ -773,9 +788,14 @@ def _streamkernel_call(
     # relaunch template slabs
     extra_in, extra_specs = [], []
     if prescribed:
+        if wind.shape[1] not in (2, 2 * n_members):
+            raise ValueError(
+                f"wind table rows {wind.shape[1]} must be 2 (member-"
+                f"shared) or 2*n_members={2 * n_members} (per-member)")
         extra_in.append(wind)
         extra_specs.append(
-            pl.BlockSpec((1, 2, c_pad), lambda i, s, t: (i, 0, 0)))
+            pl.BlockSpec((1, wind.shape[1], c_pad),
+                         lambda i, s, t: (i, 0, 0)))
     if relaunch:
         extra_in += list(src)
         extra_specs += [tile] * 4
@@ -959,7 +979,7 @@ def _auto_tile_rows(n: int, lifecycle: bool = False) -> int:
 def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
                        tile_rows: int = 0,
                        source=None, wind_fn=None, t0: float = 0.0,
-                       launch_sort=None,
+                       launch_sort=None, observe=None,
                        _ablate: str = ""):
     """Whole-run streaming megakernel driver: same contract and history
     framing as :func:`msgwam_tpu.ops.step_pallas.simulate_resident`, with
@@ -967,6 +987,19 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
     ``n_steps // save_every`` launches of ``save_every`` in-kernel RK3
     steps each.  ``tile_rows`` (streamed-tile height in 128-lane rows)
     defaults to 0 = pick by problem size (:func:`_auto_tile_rows`).
+
+    **History memory**: the default history stacks
+    ``n_steps // save_every`` FULL ray-state frames — at 1e6 rays that is
+    ~48 MB per frame, so a 1000-step run saved every 10 steps holds
+    ~4.8 GB on device and a fine cadence at 1e7 rays is an OOM.  Two ways
+    out: (a) pass ``observe(state, statics, aux) -> pytree`` (same
+    contract as :func:`msgwam_tpu.simulate`; ``aux.dens_prop`` carries
+    the pre-saturation density) to reduce each frame ON DEVICE before it
+    is stacked — e.g. ``lambda s, st, aux: s.mean.u`` keeps O(n_cell)
+    per frame; or (b) chunk the run from the host and stream full frames
+    to disk through the native async writer
+    (``utils/history_io.StateHistoryWriter``), which is what the CLI's
+    ``--log-every --stream-history`` path does.
 
     ``launch_sort`` re-sorts every per-ray array by height at each launch
     boundary (once per ``save_every`` in-kernel steps), restoring the
@@ -1116,6 +1149,33 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
                            num_keys=1, is_stable=True)[1:]
         return tuple(resh(x) for x in out)
 
+    n_cell = mean.u.shape[0]
+
+    def to_state(dens, r, m, uvT, like_dtype):
+        rs = RayState(
+            dens=unshape(dens).astype(like_dtype),
+            lam=rays.lam, phi=rays.phi,
+            r=unshape(r).astype(like_dtype), dr=rays.dr,
+            k=rays.k, l=rays.l,
+            m=unshape(m).astype(like_dtype), dm=rays.dm,
+        )
+        ms = MeanState(uvT[:n_cell, 0].astype(like_dtype),
+                       uvT[:n_cell, 1].astype(like_dtype))
+        return State(rs, ms)
+
+    def _observe_frame(hist_out):
+        # reduce the frame ON DEVICE inside the scan: only the observation
+        # is stacked, so history memory is O(n_outer * |obs|) instead of
+        # n_outer full ray states (the OOM cliff documented above)
+        from ..models.integrate import StepAux
+
+        fr = to_state(hist_out[0], hist_out[1], hist_out[2], hist_out[3],
+                      rays.dens.dtype)
+        act = (unshape(hist_out[5]) > 0) if do_cull else statics.active
+        return observe(fr, statics._replace(active=act),
+                       StepAux(dens_prop=unshape(hist_out[4])
+                               .astype(rays.dens.dtype)))
+
     def chunk(carry, ci):
         if use_sort:
             dens, r, m, uvT = carry[:4]
@@ -1151,14 +1211,19 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
         dens, r, m, uvT, pp = outs[:5]
         state_new = (dens, r, m, uvT) + ((outs[5],) if do_cull else ())
         if not use_sort:
-            return state_new, state_new[:4] + (pp,) + state_new[4:]
-        new_carry = state_new + tuple(frozen) \
-            + (tuple(src) if do_relaunch else ()) + (slot,)
-        # history frames leave the chunk already in original slot order,
-        # so the post-scan framing below is permutation-blind
-        emit = (dens, r, m) + ((state_new[4],) if do_cull else ()) + (pp,)
-        emit = _unpermute(slot, emit)
-        hist_out = emit[:3] + (uvT, emit[-1]) + (emit[3:4] if do_cull else ())
+            hist_out = state_new[:4] + (pp,) + state_new[4:]
+            new_carry = state_new
+        else:
+            new_carry = state_new + tuple(frozen) \
+                + (tuple(src) if do_relaunch else ()) + (slot,)
+            # history frames leave the chunk already in original slot
+            # order, so the post-scan framing below is permutation-blind
+            emit = (dens, r, m) + ((state_new[4],) if do_cull else ()) + (pp,)
+            emit = _unpermute(slot, emit)
+            hist_out = emit[:3] + (uvT, emit[-1]) \
+                + (emit[3:4] if do_cull else ())
+        if observe is not None:
+            hist_out = _observe_frame(hist_out)
         return new_carry, hist_out
 
     carry0 = (shape2(rays.dens), shape2(rays.r), shape2(rays.m),
@@ -1180,22 +1245,23 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
         carry = state_f[:3] + (carry[3],) \
             + (state_f[3:4] if do_cull else ())
 
-    n_cell = mean.u.shape[0]
-
-    def to_state(dens, r, m, uvT, like_dtype):
-        rs = RayState(
-            dens=unshape(dens).astype(like_dtype),
-            lam=rays.lam, phi=rays.phi,
-            r=unshape(r).astype(like_dtype), dr=rays.dr,
-            k=rays.k, l=rays.l,
-            m=unshape(m).astype(like_dtype), dm=rays.dm,
-        )
-        ms = MeanState(uvT[:n_cell, 0].astype(like_dtype),
-                       uvT[:n_cell, 1].astype(like_dtype))
-        return State(rs, ms)
-
     final = to_state(*carry[:4], rays.dens.dtype)
     active0 = statics.active
+
+    if observe is not None:
+        history = hist  # already the stacked per-frame observations
+        if include_t0:
+            from ..models.integrate import StepAux
+
+            obs0 = observe(state, statics,
+                           StepAux(dens_prop=state.rays.dens))
+            history = jax.tree.map(
+                lambda o0, h: jnp.concatenate([jnp.asarray(o0)[None], h]),
+                obs0, history)
+        if do_cull:
+            statics = statics._replace(active=unshape(carry[4]) > 0)
+        return final, statics, history
+
     if do_cull:
         statics = statics._replace(active=unshape(carry[4]) > 0)
 
@@ -1246,10 +1312,12 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
     launch at full streaming-kernel throughput.
 
     Scope: float32, ``hprop=False``, online saturation.  A prescribed
-    transient wind (``wind_fn``, e.g. tidal shear) is supported as a
-    member-SHARED function of time — the host-built per-step table is
-    broadcast to every member's wind block in-kernel (per-member wind
-    functions are not plumbed).  Cull/relaunch run IN-KERNEL exactly as
+    transient wind (``wind_fn``, e.g. tidal shear) may be either a
+    member-SHARED function of time (the host-built per-step table is
+    broadcast to every member's wind block in-kernel) or a SEQUENCE of E
+    per-member functions — each member then reads its own rows of a
+    stacked ``(S, 2E, c_pad)`` table, enabling genuinely
+    stochastic-background ensembles.  Cull/relaunch run IN-KERNEL exactly as
     in the single-member driver — the lifecycle machinery is per-ray, so the
     member partitioning is transparent to it; pass ``sources`` as a
     stacked ``(RayState, RayStatics)`` template pair (leading ensemble
@@ -1332,12 +1400,25 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
 
     dt_f = jnp.float32(run.dt)
 
+    per_member_wind = isinstance(wind_fn, (list, tuple))
+    if per_member_wind and len(wind_fn) != E:
+        raise ValueError(
+            f"per-member wind_fn sequence has {len(wind_fn)} entries "
+            f"for {E} ensemble members")
+
     def chunk(carry, ci):
         dens, r, m, uvT = carry[:4]
         act_c = carry[4] if do_cull else None
-        # wind rows are member-SHARED (models/integrate.py:370-377 semantics)
-        wt = None if wind_fn is None else \
-            _wind_table(wind_fn, t0, ci, S, dt_f, n_tab, c_pad)
+        # wind rows: member-shared (models/integrate.py:370-377 semantics)
+        # or one (u, v) row pair per member, stacked along the row axis
+        if wind_fn is None:
+            wt = None
+        elif per_member_wind:
+            wt = jnp.concatenate(
+                [_wind_table(f, t0, ci, S, dt_f, n_tab, c_pad)
+                 for f in wind_fn], axis=1)          # (S, 2E, c_pad)
+        else:
+            wt = _wind_table(wind_fn, t0, ci, S, dt_f, n_tab, c_pad)
         outs = _streamkernel_call(
             params, maps, cols, uvT, *statics_fields,
             dens, r, m,
@@ -1414,18 +1495,46 @@ def simulate_streaming_ensemble(states, statics, bg, cfg, run,
                                projection_backend="mxu",
                                interp_backend="mxu")
 
+        # a per-member wind_fn sequence cannot ride a vmap (functions are
+        # not pytree leaves): tabulate each member's wind at the step
+        # start times once, and rebuild a member-local wind_fn from its
+        # table row inside the vmapped body (t = t0 + i*dt exactly, so
+        # the round-trip index is exact)
+        wuv = None
+        if isinstance(wind_fn, (list, tuple)):
+            n_cell = s.mean.u.shape[1]
+            ts = t0 + jnp.arange(run_.n_steps, dtype=jnp.float32) * run_.dt
+            tabs = [jax.vmap(lambda t, f=f: tuple(
+                jnp.broadcast_to(w, (n_cell,)).astype(s.mean.u.dtype)
+                for w in f(t)))(ts) for f in wind_fn]
+            wuv = (jnp.stack([u for u, _ in tabs]),
+                   jnp.stack([v for _, v in tabs]))
+
         def generic(s_, st_):
-            def one(ms, mst, msrc):
+            def one(ms, mst, msrc, w):
+                wf = wind_fn
+                if w is not None:
+                    wu_m, wv_m = w
+                    idx = lambda t: jnp.round(
+                        (t - t0) / run_.dt).astype(jnp.int32)
+                    wf = lambda t: (wu_m[idx(t)], wv_m[idx(t)])
                 fin, _, hist = simulate(ms, mst, bg, xla_cfg, run_,
-                                        source=msrc, wind_fn=wind_fn,
+                                        source=msrc, wind_fn=wf,
                                         t0=t0, validate=False)
                 return fin, hist[0].mean
 
-            if sources is None:
+            if sources is None and wuv is None:
                 fins, means = jax.vmap(
-                    lambda ms, mst: one(ms, mst, None))(s_, st_)
+                    lambda ms, mst: one(ms, mst, None, None))(s_, st_)
+            elif sources is None:
+                fins, means = jax.vmap(
+                    lambda ms, mst, w: one(ms, mst, None, w))(s_, st_, wuv)
+            elif wuv is None:
+                fins, means = jax.vmap(
+                    lambda ms, mst, sr: one(ms, mst, sr, None))(
+                        s_, st_, sources)
             else:
-                fins, means = jax.vmap(one)(s_, st_, sources)
+                fins, means = jax.vmap(one)(s_, st_, sources, wuv)
             mean_hist = MeanState(jnp.moveaxis(means.u, 0, 1),
                                   jnp.moveaxis(means.v, 0, 1))
             return fins, st_, mean_hist

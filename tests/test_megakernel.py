@@ -598,3 +598,152 @@ def test_streaming_launch_sort_with_lifecycle():
     assert _rel(a.rays.r, b.rays.r) < 1e-5
     assert _rel(a.rays.m, b.rays.m) < 1e-5
     assert _rel(a.mean.u, b.mean.u) < 1e-5
+
+
+def test_megakernel_observe_reduces_history():
+    """observe= reduces each history frame on device (the history-memory
+    escape hatch): the observation equals the same function of the default
+    full-frame history, and include_t0 prepends the initial observation."""
+    cfg, bg, state, statics = _setup()
+    run = mt.RunConfig(dt=120.0, n_steps=9, save_every=3)
+    obs = lambda s, st, aux: s.mean.u
+
+    _, _, h_full = simulate_resident(state, statics, bg, cfg, run)
+    _, _, h_obs = simulate_resident(state, statics, bg, cfg, run,
+                                    observe=obs)
+    np.testing.assert_array_equal(np.asarray(h_obs),
+                                  np.asarray(h_full[0].mean.u))
+
+    _, _, h_obs0 = simulate_resident(state, statics, bg, cfg, run,
+                                     include_t0=True, observe=obs)
+    assert h_obs0.shape[0] == h_obs.shape[0] + 1
+    np.testing.assert_array_equal(np.asarray(h_obs0[0]),
+                                  np.asarray(state.mean.u))
+    np.testing.assert_array_equal(np.asarray(h_obs0[1:]), np.asarray(h_obs))
+
+
+def test_streaming_observe_reduces_history():
+    """The streaming driver's observe= matches the same reduction of its
+    default full-frame history, in both launch-sort modes (frames leave
+    the kernel in original slot order either way)."""
+    from msgwam_tpu.ops.step_pallas_stream import simulate_streaming
+
+    cfg, bg, state, statics = _setup()
+    run = mt.RunConfig(dt=120.0, n_steps=4, save_every=2)
+    obs = lambda s, st, aux: (s.mean.u,
+                              jnp.sum(aux.dens_prop * st.active),
+                              jnp.max(s.rays.r * st.active))
+
+    for sort in (False, True):
+        _, _, h_full = simulate_streaming(state, statics, bg, cfg, run,
+                                          launch_sort=sort)
+        _, _, (hu, hp, hr) = simulate_streaming(state, statics, bg, cfg,
+                                                run, launch_sort=sort,
+                                                observe=obs)
+        h_state, h_act, h_prop = h_full
+        np.testing.assert_array_equal(np.asarray(hu),
+                                      np.asarray(h_state.mean.u))
+        for t in range(2):
+            np.testing.assert_allclose(
+                float(hp[t]),
+                float(jnp.sum(h_prop[t] * h_act[t])), rtol=1e-6)
+            np.testing.assert_allclose(
+                float(hr[t]),
+                float(jnp.max(h_state.rays.r[t] * h_act[t])), rtol=1e-6)
+
+
+def test_streaming_ensemble_per_member_wind():
+    """A SEQUENCE of per-member wind_fns (VERDICT r3 #8): each member
+    reads its own rows of the stacked (S, 2E, c_pad) wind table in-kernel
+    and must match its own single-member streaming run with that
+    wind_fn — genuinely stochastic-background ensembles."""
+    from msgwam_tpu.models.backgrounds import tidal_shear
+    from msgwam_tpu.ops.step_pallas_stream import (
+        simulate_streaming, simulate_streaming_ensemble)
+    from msgwam_tpu.parallel import stack_ensemble
+
+    E = 2
+    members = []
+    for e in range(E):
+        cfg, bg, state, statics = _setup(n=10000, pad_to=10240,
+                                         amp=0.003 * (1 + 0.2 * e))
+        members.append((state, statics))
+    cfg = cfg.replace(prognostic_mean=False)
+    gc = mt.GridConfig()
+    cj = jnp.asarray(gc.centers(), jnp.float32)
+    # distinct per-member tides: different periods AND amplitudes so a
+    # broadcast bug cannot cancel
+    wfs = [
+        (lambda t, s=1.0 + 0.5 * e: (s * tidal_shear(cj, t, cfg,
+                                                     period=43200.0 / s),
+                                     jnp.zeros_like(cj)))
+        for e in range(E)
+    ]
+    bstates, bstatics = stack_ensemble(members)
+    run = mt.RunConfig(dt=120.0, n_steps=4, save_every=2)
+
+    fin, _, mh = simulate_streaming_ensemble(
+        bstates, bstatics, bg, cfg, run, wind_fn=wfs)
+    for e in range(E):
+        s1, st1 = members[e]
+        f1, _, _ = simulate_streaming(s1, st1, bg, cfg, run,
+                                      wind_fn=wfs[e])
+        assert _rel(f1.rays.dens, fin.rays.dens[e]) < 1e-5
+        assert _rel(f1.rays.r, fin.rays.r[e]) < 1e-5
+        assert _rel(f1.rays.m, fin.rays.m[e]) < 1e-5
+        assert _rel(f1.mean.u, fin.mean.u[e]) < 1e-5
+
+    # the member winds really differ (guard against a broadcast bug
+    # making this test vacuous)
+    assert _rel(fin.mean.u[0], fin.mean.u[1]) > 1e-3
+
+    # wrong-length sequence is a clear error
+    with pytest.raises(ValueError, match="per-member wind_fn"):
+        simulate_streaming_ensemble(bstates, bstatics, bg, cfg, run,
+                                    wind_fn=wfs + wfs)
+
+
+def test_streaming_ensemble_per_member_wind_grad():
+    """jax.grad through a per-member-wind one-launch ensemble: the
+    backward tabulates each member's wind and matches the vmapped scan
+    path with the same per-member winds."""
+    from msgwam_tpu.models.backgrounds import tidal_shear
+    from msgwam_tpu.ops.step_pallas_stream import simulate_streaming_ensemble
+    from msgwam_tpu.parallel import stack_ensemble
+
+    cfg, bg, state, statics = _setup(n=300, pad_to=512)
+    cfg = cfg.replace(prognostic_mean=False)
+    bstates, bstatics = stack_ensemble([(state, statics)] * 2)
+    run = mt.RunConfig(dt=120.0, n_steps=3, save_every=3)
+    gc = mt.GridConfig()
+    cj = jnp.asarray(gc.centers(), jnp.float32)
+    wfs = [lambda t: (tidal_shear(cj, t, cfg), jnp.zeros_like(cj)),
+           lambda t: (2.0 * tidal_shear(cj, t, cfg), jnp.zeros_like(cj))]
+    xla_cfg = cfg.replace(rhs_backend="xla", window_cells=0)
+
+    def loss_for(sim):
+        def loss(scale):
+            s = bstates._replace(
+                rays=bstates.rays._replace(dens=bstates.rays.dens * scale))
+            final = sim(s)
+            return jnp.sum(final.rays.dens ** 2)
+        return loss
+
+    g_ens = jax.grad(loss_for(lambda s: simulate_streaming_ensemble(
+        s, bstatics, bg, cfg, run, wind_fn=wfs)[0]))(1.0)
+
+    def xla_sim(s):
+        f0, _ = mt.simulate(jax.tree.map(lambda x: x[0], s),
+                            jax.tree.map(lambda x: x[0], bstatics),
+                            bg, xla_cfg, run, wind_fn=wfs[0],
+                            validate=False)[:2], None
+        f0 = f0[0]
+        f1 = mt.simulate(jax.tree.map(lambda x: x[1], s),
+                         jax.tree.map(lambda x: x[1], bstatics),
+                         bg, xla_cfg, run, wind_fn=wfs[1],
+                         validate=False)[0]
+        return jax.tree.map(lambda a, b: jnp.stack([a, b]), f0, f1)
+
+    g_xla = jax.grad(loss_for(xla_sim))(1.0)
+    assert np.isfinite(float(g_ens)) and float(g_ens) != 0.0
+    np.testing.assert_allclose(float(g_ens), float(g_xla), rtol=5e-4)
