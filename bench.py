@@ -181,6 +181,11 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         "unit": "ray-steps/s",
         "vs_baseline": round(ray_steps_per_sec / BASELINE_RAY_STEPS_PER_SEC, 1),
     }
+    try:
+        peak = jax.local_devices()[0].memory_stats()["peak_bytes_in_use"]
+        result["peak_hbm_gb"] = round(peak / 2**30, 2)
+    except (AttributeError, KeyError, TypeError):
+        pass
     if retimed:
         # a relay flake triggered a re-time; if even the second pass is
         # implausible, say so in the artifact instead of reporting it as real
