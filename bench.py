@@ -48,14 +48,18 @@ N_RAY = 100_000
 # ms/step) keep 1000 steps, where the dispatch is <3.5%.
 N_STEPS = 8000
 N_STEPS_BIG = 1000
+# HBM-ceiling matrix row: largest streamed ray count that fits one
+# v5-lite chip (16 GB HBM) — measured, see benchmarks/RESULTS.md round 4
+CEILING_N_RAY = 50_000_000
 DT = 120.0
 BASELINE_RAY_STEPS_PER_SEC = 3.0e4
 
 
 def _setup(n_ray: int, backend: str, accum: str, w2: int = 0,
-           w1: int = 0, alpha: float = 0.003, hprop: bool = False):
+           w1: int = 0, alpha: float = 0.003, hprop: bool = False,
+           sat: str = "online"):
     cfg = mt.REFERENCE_RUN_CONFIG.replace(
-        saturate_online=True,
+        saturate_online=(sat == "online"),
         hprop=hprop,
         dtype="float32",
         projection_backend="xla" if backend == "xla" else "mxu",
@@ -89,7 +93,8 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
             backend: str = "mega", accum: str = "native",
             sharded: bool = False, fallback: bool = False,
             w2: int = 0, w1: int = 0, save_every: int = 0,
-            launch_sort: str = "auto", hprop: bool = False) -> dict:
+            launch_sort: str = "auto", hprop: bool = False,
+            sat: str = "online") -> dict:
     if hprop and backend in ("pallas", "pallasw", "mega"):
         # the pallas kernel family scopes to hprop=False (frozen
         # positions/horizontal wavenumbers); spherical propagation runs
@@ -111,7 +116,7 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         ch = resolve_champion(n_ray)
         w1, w2 = ch["window_cells"], ch["window_cells2"]
     cfg, bg, state, statics = _setup(n_ray, backend, accum, w2, w1,
-                                     hprop=hprop)
+                                     hprop=hprop, sat=sat)
     run = mt.RunConfig(dt=DT, n_steps=n_steps,
                        save_every=save_every or n_steps)
     # launch-boundary height re-sort (streaming megakernel): auto = the
@@ -139,18 +144,25 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         # TPU sort costs 150-250 ms at 1e6 rays, ~100x the whole step)
         step_fn = jax.jit(lambda s, st: mt.simulate(s, st, bg, cfg, run))
 
+    t0 = time.perf_counter()
     out = step_fn(state, statics)  # compile + warm-up
     jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
 
     def _time_reps():
+        nonlocal out
         b = float("inf")
-        o = out
         for _ in range(3):
+            # free the previous output set before allocating the next one:
+            # at 1e5 this is immaterial, but near the HBM ceiling keeping
+            # two output sets live alongside the input state is the
+            # difference between fitting and ResourceExhausted
+            out = None
             t0 = time.perf_counter()
-            o = step_fn(state, statics)
-            jax.block_until_ready(o)
+            out = step_fn(state, statics)
+            jax.block_until_ready(out)
             b = min(b, time.perf_counter() - t0)
-        return b, o
+        return b, out
 
     best, out = _time_reps()
     retimed = False
@@ -176,7 +188,7 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         + (f"+save={save_every}" if save_every else "")
     result = {
         "metric": f"ray-volume steps/sec/chip at {n_ray:,} rays "
-                  f"(coupled, online saturation, f32, {label})",
+                  f"(coupled, {sat} saturation, f32, {label})",
         "value": round(ray_steps_per_sec, 1),
         "unit": "ray-steps/s",
         "vs_baseline": round(ray_steps_per_sec / BASELINE_RAY_STEPS_PER_SEC, 1),
@@ -186,6 +198,9 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         result["peak_hbm_gb"] = round(peak / 2**30, 2)
     except (AttributeError, KeyError, TypeError):
         pass
+    if n_ray >= 20_000_000:
+        # HBM-ceiling rows: record the cost of standing the run up too
+        result["compile_s"] = round(compile_s - best, 1)
     if retimed:
         # a relay flake triggered a re-time; if even the second pass is
         # implausible, say so in the artifact instead of reporting it as real
@@ -323,6 +338,15 @@ def run_matrix(n_steps: int = N_STEPS) -> list:
          dict(save_every=big, launch_sort="off")),
         (10_000_000, "mega", 3 * big,
          dict(save_every=big, launch_sort="on")),
+        # spherical horizontal propagation (VERDICT r3 #7): hprop runs
+        # through the scan backends (the pallas kernel family scopes to
+        # hprop=False); the hprop-off mxu rows above/below are the delta
+        (100_000, "mxu", n_steps, {}),
+        (100_000, "mxu", n_steps, dict(hprop=True)),
+        (1_000_000, "mxu", big, dict(hprop=True)),
+        # HBM-ceiling demonstration (VERDICT r3 #6): the largest streamed
+        # point that fits one chip, with peak footprint recorded
+        (CEILING_N_RAY, "mega", big, {}),
     ]:
         rows.append(run_one(n_ray, steps, backend, fallback=True, **kw))
         print(json.dumps(rows[-1]), flush=True)
@@ -388,6 +412,10 @@ def cli(argv=None):
                     help="spherical horizontal propagation on (scan "
                          "backends only: --backend mxu or xla; the pallas "
                          "kernel family scopes to hprop=False)")
+    ap.add_argument("--sat", choices=["online", "offline"], default="online",
+                    help="saturation mode: online (inside the RHS, the "
+                         "perf default) or offline (the reference quirk-2 "
+                         "between-steps finite-difference pass)")
     ap.add_argument("--grad-remat", choices=["auto", "on", "full", "off"],
                     default="auto",
                     help="jax.checkpoint remat for --grad: full (= auto) is "
@@ -423,7 +451,7 @@ def cli(argv=None):
     elif (args.backend == "mega" and args.accum == "native"
           and not args.sharded and not args.fallback and not args.w2
           and not args.w1 and not args.save_every and not args.hprop
-          and args.launch_sort == "auto"
+          and args.sat == "online" and args.launch_sort == "auto"
           and args.n_ray == N_RAY and args.steps == N_STEPS):
         # bare `python bench.py` (the driver invocation): metric of record
         # plus the embedded 1e6 north-star measurement
@@ -434,7 +462,7 @@ def cli(argv=None):
                                  w2=args.w2, w1=args.w1,
                                  save_every=args.save_every,
                                  launch_sort=args.launch_sort,
-                                 hprop=args.hprop)))
+                                 hprop=args.hprop, sat=args.sat)))
 
 
 if __name__ == "__main__":
