@@ -49,7 +49,8 @@ N_RAY = 100_000
 N_STEPS = 8000
 N_STEPS_BIG = 1000
 # HBM-ceiling matrix row: largest streamed ray count that fits one
-# v5-lite chip (16 GB HBM) — measured, see benchmarks/RESULTS.md round 4
+# v5-lite chip (16 GB HBM); peak footprint recorded in the row itself
+# (benchmarks/BENCH_MATRIX.json, round 5)
 CEILING_N_RAY = 50_000_000
 DT = 120.0
 BASELINE_RAY_STEPS_PER_SEC = 3.0e4
@@ -124,6 +125,7 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
     # sorted-vs-unsorted matrix rows
     ls = {"auto": None, "on": True, "off": False}[launch_sort]
 
+    want_perm = False
     if sharded:
         from msgwam_tpu.parallel.sharding import make_mesh, sharded_simulate
 
@@ -135,10 +137,23 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
             state = mt.State(rays, state.mean)
         step_fn = lambda s, st: sharded_simulate(mesh, s, st, bg, cfg, run)
     elif backend == "mega":
-        from msgwam_tpu.ops.step_pallas import simulate_resident
+        want_perm = bool(fallback and ls is True and n_ray > 131_072)
+        if want_perm:
+            # sorted streaming runs: fetch the final slot permutation too,
+            # so the fallback diagnostic below also runs on the INTERNAL
+            # (launch-sorted) layout the kernel actually iterated over —
+            # the returned slot order has the launch-sort-OFF coherence
+            # (VERDICT r4 #5)
+            from msgwam_tpu.ops.step_pallas_stream import simulate_streaming
 
-        step_fn = jax.jit(lambda s, st: simulate_resident(
-            s, st, bg, cfg, run, launch_sort=ls))
+            step_fn = jax.jit(lambda s, st: simulate_streaming(
+                s, st, bg, cfg, run, launch_sort=True,
+                return_final_perm=True))
+        else:
+            from msgwam_tpu.ops.step_pallas import simulate_resident
+
+            step_fn = jax.jit(lambda s, st: simulate_resident(
+                s, st, bg, cfg, run, launch_sort=ls))
     else:
         # pallasw relies on launch-order height coherence (no sorting: XLA's
         # TPU sort costs 150-250 ms at 1e6 rays, ~100x the whole step)
@@ -229,6 +244,20 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         result["fallback_rate_end"] = round(float(s.fallback_rate), 4)
         if wcfg.window_cells2:
             result["full_rate_end"] = round(float(s.full_rate), 4)
+        if want_perm:
+            # the rate on the layout the sorted kernel actually SAW at run
+            # end (1 boundary sort + save_every steps of drift) — measured,
+            # not inferred from the slot order (VERDICT r4 #5)
+            from msgwam_tpu.diagnostics import internal_ray_layout
+
+            ist, istat = internal_ray_layout(out[0], out[1], out[3])
+            si = window_fallback_stats(DT, ist, istat, bg, wcfg,
+                                       block_rows=block_rows)
+            result["fallback_rate_end_internal"] = \
+                round(float(si.fallback_rate), 4)
+            if wcfg.window_cells2:
+                result["full_rate_end_internal"] = \
+                    round(float(si.full_rate), 4)
     return result
 
 
@@ -326,10 +355,10 @@ def run_matrix(n_steps: int = N_STEPS) -> list:
         (10_000_000, "mega", big, {}),   # scale headline, 256-row tiles
         # launch-boundary height re-sort (VERDICT r3 #1): multi-launch
         # long runs, sorted vs unsorted, with end-of-run fallback rates.
-        # NB the fallback diagnostic sees the returned SLOT-ordered state
-        # (= the unsorted kernel's true internal layout; the sorted
-        # kernel's internal layout is 1 launch past its last boundary
-        # sort — see benchmarks/RESULTS.md, launch-sort section).
+        # Sorted rows report BOTH layouts: fallback_rate_end on the
+        # returned slot order (= the unsorted kernel's coherence) and
+        # fallback_rate_end_internal on the layout the sorted kernel
+        # actually iterated over (final perm applied — VERDICT r4 #5).
         (1_000_000, "mega", 5 * big,
          dict(save_every=big, launch_sort="off")),
         (1_000_000, "mega", 5 * big,
@@ -348,9 +377,27 @@ def run_matrix(n_steps: int = N_STEPS) -> list:
         # point that fits one chip, with peak footprint recorded
         (CEILING_N_RAY, "mega", big, {}),
     ]:
-        rows.append(run_one(n_ray, steps, backend, fallback=True, **kw))
+        try:
+            rows.append(run_one(n_ray, steps, backend, fallback=True, **kw))
+        except Exception as e:  # noqa: BLE001 — a ResourceExhausted on the
+            # ceiling row must not discard the 15 rows before it (ADVICE r4)
+            rows.append({
+                "metric": f"{backend} at {n_ray:,} rays ({steps} steps)",
+                "error": f"{type(e).__name__}: {str(e)[:300]}",
+            })
         print(json.dumps(rows[-1]), flush=True)
+        _write_matrix(rows)  # incremental: the artifact survives any crash
     return rows
+
+
+def _write_matrix(rows) -> str:
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "benchmarks", "BENCH_MATRIX.json")
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rows, f, indent=1)
+    os.replace(tmp, out)
+    return out
 
 
 def main(n_ray: int = N_RAY, n_steps: int = N_STEPS):
@@ -436,18 +483,18 @@ def cli(argv=None):
                                   remat={"on": True, "off": False}.get(
                                       remat, remat))))
     elif args.matrix:
-        rows = run_matrix(args.steps)
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "benchmarks", "BENCH_MATRIX.json")
-        with open(out, "w") as f:
-            json.dump(rows, f, indent=1)
-        print(f"wrote {out}", file=sys.stderr)
+        run_matrix(args.steps)  # writes BENCH_MATRIX.json incrementally
+        print("wrote benchmarks/BENCH_MATRIX.json", file=sys.stderr)
     elif args.all:
+        if args.hprop:
+            raise SystemExit("--all runs fixed backends; use explicit "
+                             "--backend mxu --hprop instead")
         for backend, accum in [("mega", "native"), ("mxu", "native"),
                                ("mxu", "compensated"),
                                ("pallas", "native"), ("pallasw", "native"),
                                ("xla", "native")]:
-            print(json.dumps(run_one(args.n_ray, args.steps, backend, accum)))
+            print(json.dumps(run_one(args.n_ray, args.steps, backend, accum,
+                                     sat=args.sat)))
     elif (args.backend == "mega" and args.accum == "native"
           and not args.sharded and not args.fallback and not args.w2
           and not args.w1 and not args.save_every and not args.hprop

@@ -170,6 +170,39 @@ def pseudo_momentum_flux(rays, statics, bg: Background, cfg: ModelConfig):
     )
 
 
+def internal_ray_layout(state, statics, perm):
+    """Re-express per-ray state/statics in the streaming megakernel's
+    INTERNAL (launch-sorted) buffer layout.
+
+    ``perm`` is the final slot permutation from
+    ``simulate_streaming(..., return_final_perm=True)``: ``perm[i]`` is
+    the caller slot id at internal buffer position ``i`` (ids ``>= n``
+    are the kernel's pad rows — edge-replicated fields, inactive mask).
+    Applying it to the returned slot-ordered state reconstructs exactly
+    what the kernel's last launch iterated over, so
+    :func:`window_fallback_stats` measures the layout the kernel SAW
+    instead of the unpermuted slot order (whose coherence is that of the
+    launch-sort-OFF kernel — the round-4 matrix asterisk).
+
+    Returns ``(state, statics)`` over the padded buffer length
+    ``perm.shape[0]`` (already a whole-tile multiple, so the diagnostic
+    adds no further padding).
+    """
+    from .state import State
+
+    n = state.rays.r.shape[0]
+    pad = perm.shape[0] - n
+
+    def gather(x):
+        return jnp.pad(jnp.asarray(x), (0, pad), mode="edge")[perm]
+
+    rays = jax.tree.map(gather, state.rays)
+    active = jnp.pad(jnp.asarray(statics.active), (0, pad),
+                     constant_values=False)[perm]
+    statics_i = jax.tree.map(gather, statics)._replace(active=active)
+    return State(rays, state.mean), statics_i
+
+
 class WindowFallbackStats(NamedTuple):
     """Window-coherence observability for the adaptive-window kernels."""
 

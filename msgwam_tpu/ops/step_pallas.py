@@ -631,7 +631,7 @@ def build_operators(bg, cfg, n_tab: int, c_pad: int):
 
 def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False,
                       source=None, wind_fn=None, t0: float = 0.0,
-                      launch_sort=None, observe=None):
+                      launch_sort=None, observe=None, source_key=None):
     """Drop-in fast path for ``simulate``: runs whole RK3 steps in-kernel.
 
     ``observe(state, statics, aux) -> pytree`` (same contract as
@@ -664,7 +664,8 @@ def simulate_resident(state, statics, bg, cfg, run, include_t0: bool = False,
         return simulate_streaming(state, statics, bg, cfg, run,
                                   include_t0=include_t0, source=source,
                                   wind_fn=wind_fn, t0=t0,
-                                  launch_sort=launch_sort, observe=observe)
+                                  launch_sort=launch_sort, observe=observe,
+                                  source_key=source_key)
 
     @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
     def diff(s, st, cfg_, run_, inc):

@@ -980,6 +980,8 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
                        tile_rows: int = 0,
                        source=None, wind_fn=None, t0: float = 0.0,
                        launch_sort=None, observe=None,
+                       return_final_perm: bool = False,
+                       source_key=None,
                        _ablate: str = ""):
     """Whole-run streaming megakernel driver: same contract and history
     framing as :func:`msgwam_tpu.ops.step_pallas.simulate_resident`, with
@@ -1015,6 +1017,27 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
     ``None`` (default) resolves to the measured champion rule:
     on at ``n >= LAUNCH_SORT_MIN`` rays, off below.
 
+    ``source`` is either a fixed ``(RayState, RayStatics)`` relaunch
+    template or — like the scan path (``models/integrate.py``) — a
+    callable ``source(key) -> (RayState, RayStatics)`` drawing a fresh
+    stochastic template (pass ``source_key``).  Keyed templates refresh
+    once per LAUNCH (every ``save_every`` steps): the draw runs in the
+    host graph between kernel launches and its slabs are permuted into
+    the current internal layout when ``launch_sort`` is on.  At
+    ``save_every=1`` the refresh cadence and key-split sequence match the
+    scan path exactly.  A stochastic template may vary only
+    ``dens/r/m/active`` — the frozen per-ray fields stay resident for the
+    whole run, same as fixed templates (guarded eagerly).
+
+    ``return_final_perm`` appends the final slot permutation to the
+    return tuple: ``perm[i]`` is the caller slot id sitting at INTERNAL
+    buffer position ``i`` at run end (``jnp.arange(n_pad)`` when the sort
+    is off; slot ids >= n are the kernel's pad rows).  This is what the
+    kernel's last launch actually iterated over — 1 boundary sort plus
+    ``save_every`` steps of drift — so window-coherence diagnostics can
+    run on the layout the kernel SAW rather than the returned slot order
+    (:func:`msgwam_tpu.diagnostics.internal_ray_layout`).
+
     ``_ablate`` is a profiling-only switch (``tools/floor_ablation.py``)
     that compile-time-strips parts of the per-tile work to decompose the
     step-time floor: ``"nodeposit"`` drops the flux deposit,
@@ -1035,8 +1058,15 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
         )
     if do_relaunch and source is None:
         raise ValueError("cfg.relaunch requires a source template")
+    keyed_source = callable(source)
+    if keyed_source and source_key is None:
+        raise ValueError("a callable source requires source_key")
     if do_relaunch:
-        src_rays, src_statics = source
+        # keyed sources (VERDICT r4 #6): draw one eager probe template for
+        # the frozen-field guard — stochastic templates may vary only
+        # dens/r/m/active (the slabs the kernel streams); frozen fields are
+        # resident for the whole run, exactly like fixed templates
+        src_rays, src_statics = source(source_key) if keyed_source else source
         _check_relaunch_template(src_rays, src_statics, state.rays, statics)
     for name, arr in (("state.rays.dens", state.rays.dens),
                       ("state.mean.u", state.mean.u)):
@@ -1094,10 +1124,10 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
     S = run.save_every
     dt_f = jnp.float32(run.dt)
 
-    if do_relaunch:
+    if do_relaunch and not keyed_source:
         src_slabs = _src_slabs(src_rays, src_statics, shape2)
     else:
-        src_slabs = None
+        src_slabs = None  # keyed: a fresh template is drawn per launch
 
     if launch_sort is None:
         # auto: only multi-launch runs have mid-run boundaries to re-sort
@@ -1109,7 +1139,9 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
                        and run.n_steps > run.save_every)
     use_sort = bool(launch_sort)
     n_frozen = len(statics_fields)
-    n_src = 4 if do_relaunch else 0
+    # keyed sources are never carried: their slabs are drawn fresh each
+    # launch (and permuted into the current internal layout when sorting)
+    n_src = 4 if (do_relaunch and not keyed_source) else 0
     slab_shape = (n_pad // LANE, LANE)
     flat = lambda x: x.reshape(-1)
     resh = lambda x: x.reshape(slab_shape)
@@ -1177,6 +1209,7 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
                                .astype(rays.dens.dtype)))
 
     def chunk(carry, ci):
+        key = carry[-1] if keyed_source else None
         if use_sort:
             dens, r, m, uvT = carry[:4]
             i = 4
@@ -1184,7 +1217,7 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
             i += 1 if do_cull else 0
             frozen = carry[i:i + n_frozen]
             i += n_frozen
-            src = carry[i:i + n_src] if do_relaunch else None
+            src = carry[i:i + n_src] if n_src else None
             i += n_src
             slot = carry[i]
             dens, r, m, act_c, frozen, src, slot = _sort_slabs(
@@ -1193,6 +1226,21 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
             dens, r, m, uvT = carry[:4]
             act_c = carry[4] if do_cull else None
             frozen, src, slot = statics_fields, src_slabs, None
+        if keyed_source:
+            # fresh stochastic template per LAUNCH (VERDICT r4 #6): the
+            # scan path refreshes per relaunch step, so at save_every=1
+            # the cadences and key-split sequences coincide exactly
+            # (tests/test_megakernel.py); at save_every>1 one template
+            # serves the launch's in-kernel relaunches — the documented
+            # cadence of the fastest backend
+            key, sub = jax.random.split(key)
+            t_rays, t_statics = source(sub)
+            src = _src_slabs(t_rays, t_statics, shape2)
+            if use_sort:
+                # express the slot-ordered template in the current
+                # internal (launch-sorted) layout, the streamed analogue
+                # of the scan path's template[slot] gather
+                src = tuple(resh(flat(x)[slot]) for x in src)
         wt = None if wind_fn is None else \
             _wind_table(wind_fn, t0, ci, S, dt_f, n_tab, c_pad)
         outs = _streamkernel_call(
@@ -1215,13 +1263,15 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
             new_carry = state_new
         else:
             new_carry = state_new + tuple(frozen) \
-                + (tuple(src) if do_relaunch else ()) + (slot,)
+                + (tuple(src) if n_src else ()) + (slot,)
             # history frames leave the chunk already in original slot
             # order, so the post-scan framing below is permutation-blind
             emit = (dens, r, m) + ((state_new[4],) if do_cull else ()) + (pp,)
             emit = _unpermute(slot, emit)
             hist_out = emit[:3] + (uvT, emit[-1]) \
                 + (emit[3:4] if do_cull else ())
+        if keyed_source:
+            new_carry = new_carry + (key,)
         if observe is not None:
             hist_out = _observe_frame(hist_out)
         return new_carry, hist_out
@@ -1233,10 +1283,14 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
             shape2(statics.active.astype(jnp.float32), fill=0.0),)
     if use_sort:
         carry0 = carry0 + tuple(statics_fields) \
-            + (tuple(src_slabs) if do_relaunch else ()) \
+            + (tuple(src_slabs) if n_src else ()) \
             + (jnp.arange(n_pad, dtype=jnp.int32),)
+    if keyed_source:
+        carry0 = carry0 + (jnp.asarray(source_key),)
     n_outer = run.n_steps // run.save_every
     carry, hist = jax.lax.scan(chunk, carry0, jnp.arange(n_outer))
+    if keyed_source:
+        carry = carry[:-1]  # drop the spent RNG key
     if use_sort:
         # final carry is in launch-sorted order; restore slot identity
         slot_f = carry[-1]
@@ -1244,6 +1298,10 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
                              + (carry[4:5] if do_cull else ()))
         carry = state_f[:3] + (carry[3],) \
             + (state_f[3:4] if do_cull else ())
+        perm_f = slot_f
+    else:
+        perm_f = jnp.arange(n_pad, dtype=jnp.int32)
+    with_perm = lambda ret: ret + (perm_f,) if return_final_perm else ret
 
     final = to_state(*carry[:4], rays.dens.dtype)
     active0 = statics.active
@@ -1260,7 +1318,7 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
                 obs0, history)
         if do_cull:
             statics = statics._replace(active=unshape(carry[4]) > 0)
-        return final, statics, history
+        return with_perm((final, statics, history))
 
     if do_cull:
         statics = statics._replace(active=unshape(carry[4]) > 0)
@@ -1285,7 +1343,7 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
     history_state = jax.tree.map(lambda *xs: jnp.stack(xs), *frames)
     history = (history_state, jnp.stack(act_frames),
                jnp.stack(prop_frames))
-    return final, statics, history
+    return with_perm((final, statics, history))
 
 
 def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
@@ -1343,6 +1401,11 @@ def _simulate_streaming_ensemble_impl(states, statics, bg, cfg, run,
         raise ValueError(
             "cfg.relaunch requires stacked per-member source templates "
             "(sources=(RayState, RayStatics) with a leading ensemble axis)")
+    if callable(sources):
+        raise ValueError(
+            "keyed (callable) sources are supported by the single-member "
+            "simulate_streaming only; run members separately, or draw the "
+            "stacked templates before the call")
     if run.n_steps % run.save_every:
         raise ValueError("n_steps must be divisible by save_every")
     rays, mean = states.rays, states.mean

@@ -63,6 +63,59 @@ def test_remat_grad_matches_plain():
     assert float(g_plain) != 0.0
 
 
+def test_full_run_gradient_matches_fd():
+    """Full-run adjoint validation (VERDICT r4 #3): the gradient through
+    the COMPLETE composition — 100-step scan, two-level remat="full",
+    OFFLINE direct saturation with FD rates between steps (the reference's
+    default mode, ``raytracer.py:182-188``), coupled mean-flow feedback —
+    matches central finite differences in f64, directionally, w.r.t. the
+    full initial-density vector.  The 20-step online-saturation scalar
+    check above does not cover the offline-saturation/remat="full"
+    composition; this is the flagship differentiability claim's test."""
+    cfg = mt.REFERENCE_RUN_CONFIG  # saturate_online=False -> offline path
+    gc = mt.GridConfig()
+    centers = gc.centers()
+    uu = np.asarray(mt.velocities_sine_homogeneous(jnp.asarray(centers), cfg))
+    bg = mt.make_background(gc, cfg, uu, np.zeros_like(uu))
+    rays, statics = mt.wave_packet_ic(gc, cfg, bg, n_ray=60)
+    state = mt.State(rays, mt.MeanState(jnp.asarray(uu), jnp.zeros(100)))
+    run = mt.RunConfig(dt=120.0, n_steps=100, save_every=10)
+    u0 = state.mean.u
+    dens0 = state.rays.dens
+
+    @jax.jit
+    def loss(theta):
+        s = state._replace(rays=state.rays._replace(dens=dens0 * (1 + theta)))
+        final, _, _ = mt.simulate(s, statics, bg, cfg, run,
+                                  remat="full", validate=False)
+        return jnp.sum((final.mean.u - u0) ** 2)
+
+    z = jnp.zeros(60)
+    g = jax.jit(jax.grad(loss))(z)
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g)) and np.max(np.abs(g)) > 0.0
+
+    rng = np.random.default_rng(0)
+    eps = 1e-5
+    for _ in range(3):
+        d = rng.standard_normal(60)
+        d /= np.linalg.norm(d)
+        fd = (float(loss(jnp.asarray(eps * d)))
+              - float(loss(jnp.asarray(-eps * d)))) / (2 * eps)
+        np.testing.assert_allclose(float(g @ d), fd, rtol=5e-5, atol=1e-12)
+
+    # remat="full" is a pure memory schedule here too: same gradient as
+    # the plain scan to f64 round-off
+    def loss_plain(theta):
+        s = state._replace(rays=state.rays._replace(dens=dens0 * (1 + theta)))
+        final, _, _ = mt.simulate(s, statics, bg, cfg, run,
+                                  remat=False, validate=False)
+        return jnp.sum((final.mean.u - u0) ** 2)
+
+    g_plain = np.asarray(jax.jit(jax.grad(loss_plain))(z))
+    np.testing.assert_allclose(g, g_plain, rtol=1e-10)
+
+
 def test_jacobian_of_single_step():
     """jacfwd through one RK3 step: d(r_new)/d(m) is nonzero (group velocity
     depends on m) and finite everywhere."""

@@ -561,6 +561,48 @@ def test_streaming_launch_sort_preserves_slot_identity():
         assert _rel(ha_p[t], hb_p[t]) < 1e-5
 
 
+def test_streaming_final_perm_and_internal_layout():
+    """return_final_perm exposes the sorted kernel's INTERNAL buffer
+    layout (VERDICT r4 #5): the perm is a true permutation of the padded
+    buffer, applying it via diagnostics.internal_ray_layout reconstructs
+    a state whose live rays are ordered by height AT THE LAST BOUNDARY
+    SORT, and unpermuting recovers the returned slot order exactly."""
+    from msgwam_tpu.diagnostics import internal_ray_layout
+    from msgwam_tpu.ops.step_pallas_stream import simulate_streaming
+
+    cfg, bg, state, statics = _setup(n=24576, pad_to=24576)
+    state, statics, _ = _shuffle_rays(state, statics)
+    # single launch => the only boundary sort happens at step 0, so the
+    # internal order must be the sort of the INITIAL heights
+    run = mt.RunConfig(dt=120.0, n_steps=4, save_every=4)
+    fin, stf, _, perm = simulate_streaming(
+        state, statics, bg, cfg, run, launch_sort=True,
+        return_final_perm=True)
+    perm = np.asarray(perm)
+    n_pad = perm.shape[0]
+    assert n_pad >= state.rays.r.shape[0]
+    np.testing.assert_array_equal(np.sort(perm), np.arange(n_pad))
+
+    ist, istat = internal_ray_layout(fin, stf, jnp.asarray(perm))
+    act = np.asarray(istat.active)
+    # live rays sit in one front block (inactive/pad keys sort to +inf)
+    n_live = int(act.sum())
+    assert act[:n_live].all() and not act[n_live:].any()
+    # internal order == initial-height order of the live rays
+    r0 = np.asarray(state.rays.r)
+    r0_internal = r0[perm[:n_live]]
+    assert (np.diff(r0_internal) >= 0).all()
+    # gather consistency: internal fields are the returned fields permuted
+    np.testing.assert_array_equal(
+        np.asarray(ist.rays.dens)[:n_live],
+        np.asarray(fin.rays.dens)[perm[:n_live]])
+    # perm=arange when the sort is off
+    _, _, _, perm_off = simulate_streaming(
+        state, statics, bg, cfg, run, launch_sort=False,
+        return_final_perm=True)
+    np.testing.assert_array_equal(np.asarray(perm_off), np.arange(n_pad))
+
+
 def test_streaming_launch_sort_with_lifecycle():
     """launch_sort composes with the in-kernel lifecycle: the relaunch
     template and activity slabs ride the same multi-operand sort, so cull
