@@ -216,6 +216,13 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
     if n_ray >= 20_000_000:
         # HBM-ceiling rows: record the cost of standing the run up too
         result["compile_s"] = round(compile_s - best, 1)
+        # the axon tunnel's memory_stats() returns None, so the peak
+        # footprint cannot be read; record the analytic streaming-kernel
+        # model instead (distinct n-sized f32 buffers: 9 input ray fields
+        # + 4 statics + 8 frozen slabs + 3 aliased working + 3 RK3 q regs
+        # + dens_prop + 4 single-frame history slabs ~= 32/ray), bracketed
+        # empirically by fit/OOM probes — benchmarks/RESULTS.md round 5
+        result["hbm_model_gb"] = round(32 * 4 * n_ray / 2**30, 2)
     if retimed:
         # a relay flake triggered a re-time; if even the second pass is
         # implausible, say so in the artifact instead of reporting it as real
@@ -453,8 +460,8 @@ def cli(argv=None):
                          "re-sort (auto = library rule)")
     ap.add_argument("--grad", action="store_true",
                     help="adjoint benchmark: jax.grad through the coupled "
-                         "run at --n-ray (default 100 steps; --steps "
-                         "overrides when < 1000)")
+                         "run at --n-ray (default 100 steps; any explicit "
+                         "--steps overrides, e.g. 720 = a simulated day)")
     ap.add_argument("--hprop", action="store_true",
                     help="spherical horizontal propagation on (scan "
                          "backends only: --backend mxu or xla; the pallas "
@@ -475,7 +482,10 @@ def cli(argv=None):
     args = ap.parse_args(argv)
     enable_persistent_compile_cache()  # after parsing: --help stays cheap
     if args.grad:
-        steps = args.steps if args.steps < 1000 else 100
+        # --steps is honored when given (720/1440-step full-length adjoint
+        # rows, VERDICT r4 #3); the bare default (8000, sized for the
+        # forward megakernel) drops to the 100-step adjoint default
+        steps = args.steps if args.steps != N_STEPS else 100
         remat = args.grad_remat
         if remat == "auto":
             remat = "full"  # measured fastest at every size (see --help)

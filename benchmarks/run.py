@@ -135,6 +135,107 @@ def roofline(backend, dtype, max_n=10_000_000):
         n *= 10
 
 
+def roofline_mega(steps_override=None):
+    """Roofline / MFU of the SHIPPED megakernel champions (VERDICT r4 #4)
+    — the round-2 table above measured the then-current fused-RHS kernel;
+    this measures the whole-run megakernels exactly as ``bench.py`` runs
+    them (resident at 1e5, streaming at 1e6/1e7, champion windows,
+    launch_sort auto) and models their two floors:
+
+    * **HBM streaming floor** — the streaming kernel moves, per RK3 stage
+      per ray, 6 mutable f32 slabs in + 6 out (dens/r/m and the RK3 q
+      registers) plus 8 frozen read-only slabs: 80 B/ray/stage, 240
+      B/ray/step.  The VMEM-resident kernel (≤131,072 rays) loads the
+      state once per LAUNCH, so its per-step HBM traffic is ~0 and its
+      floor is pure VPU.
+    * **VPU floor** — the *windowed* useful-work model: per ray per RHS
+      evaluation, basis/weight construction over the effective window
+      ``W_eff`` (20 element-ops per touched cell: three 4-op hat-basis
+      builds + the 8-op flux overlap weights) plus ~60 elementwise
+      physics ops.  ``W_eff`` mixes the champion tiers by the MEASURED
+      per-block rates (``diagnostics.window_fallback_stats``): blocks
+      within W1 pay W1, the W1→W2 tail pays W2, full-fallback blocks pay
+      the padded column count.  Rates drift over a run (coherence decay),
+      so the model brackets with the start-of-run and end-of-run rates
+      and reports the midpoint; the spread is shown.
+
+    MFU-style utilization = useful-floor time / measured time; headroom
+    = measured time / max(HBM floor, VPU floor).  Writes
+    ``benchmarks/ROOFLINE_r05.json``.
+    """
+    import bench
+    from msgwam_tpu.diagnostics import window_fallback_stats
+    from msgwam_tpu.ops.rhs_pallas import resolve_champion, \
+        resolve_window_cells
+    from msgwam_tpu.ops.step_pallas_stream import _auto_tile_rows
+
+    C_PAD = 128
+    rows = []
+    print(f"# megakernel roofline — device={jax.devices()[0].device_kind}, "
+          f"nominal peaks: HBM {PEAK_HBM_GBPS:.0f} GB/s, "
+          f"VPU {PEAK_VPU_OPS:.2e} elem-ops/s")
+    print(f"{'nray':>9} {'ms/step':>9} {'HBM GB/s':>9} {'%HBM':>6} "
+          f"{'W_eff':>11} {'VPU Tops/s':>11} {'%VPU':>6} {'headroom':>9}")
+    for n, steps in ((100_000, bench.N_STEPS),
+                     (1_000_000, bench.N_STEPS_BIG),
+                     (10_000_000, bench.N_STEPS_BIG)):
+        if steps_override:
+            steps = steps_override
+        r = bench.run_one(n, steps, "mega", fallback=True)
+        t_step = n / r["value"]
+        ch = resolve_champion(n)
+        cfg, bg, state, statics = bench._setup(
+            n, "mega", "native", ch["window_cells2"], ch["window_cells"])
+        wcfg = cfg
+        W1, W2 = resolve_window_cells(wcfg, C_PAD)
+        streaming = n > 131_072
+        block_rows = _auto_tile_rows(n) if streaming else 0
+        s0 = window_fallback_stats(bench.DT, state, statics, bg, wcfg,
+                                   block_rows=block_rows)
+
+        def w_eff(fb, full):
+            if W2:
+                return (1 - fb) * W1 + (fb - full) * W2 + full * C_PAD
+            return (1 - fb) * W1 + fb * C_PAD
+
+        we0 = w_eff(float(s0.fallback_rate), float(s0.full_rate))
+        we1 = w_eff(r.get("fallback_rate_end", 0.0),
+                    r.get("full_rate_end", r.get("fallback_rate_end", 0.0)))
+        we = 0.5 * (we0 + we1)
+        vpu_ops = 3 * n * (20 * we + 60)
+        hbm_bytes = 240 * n if streaming else 0
+        vpu = vpu_ops / t_step
+        hbm = hbm_bytes / t_step / 1e9
+        floor_t = max(vpu_ops / PEAK_VPU_OPS, hbm_bytes / (PEAK_HBM_GBPS * 1e9))
+        row = {
+            "n_ray": n, "ms_per_step": round(t_step * 1e3, 4),
+            "kernel": "streaming" if streaming else "resident",
+            "W1": W1, "W2": W2,
+            "w_eff_start": round(we0, 1), "w_eff_end": round(we1, 1),
+            "hbm_gbps": round(hbm, 1),
+            "hbm_pct_peak": round(100 * hbm / PEAK_HBM_GBPS, 1),
+            "vpu_tops": round(vpu / 1e12, 3),
+            "vpu_pct_peak": round(100 * vpu / PEAK_VPU_OPS, 1),
+            "headroom_x": round(t_step / floor_t, 2),
+            "fallback_rate_start": round(float(s0.fallback_rate), 4),
+            "fallback_rate_end": r.get("fallback_rate_end"),
+            "full_rate_start": round(float(s0.full_rate), 4),
+            "full_rate_end": r.get("full_rate_end"),
+            "ray_steps_per_sec": r["value"],
+        }
+        rows.append(row)
+        print(f"{n:>9} {t_step*1e3:>9.3f} {hbm:>9.1f} "
+              f"{row['hbm_pct_peak']:>5.1f}% "
+              f"{we0:>4.0f}->{we1:<4.0f} {vpu/1e12:>11.2f} "
+              f"{row['vpu_pct_peak']:>5.1f}% {row['headroom_x']:>8.2f}x",
+              flush=True)
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "ROOFLINE_r05.json")
+        with open(out, "w") as fjson:
+            json.dump(rows, fjson, indent=1)
+    print("wrote benchmarks/ROOFLINE_r05.json")
+
+
 def scaling_table(backend, dtype):
     cfg = mt.REFERENCE_RUN_CONFIG.replace(
         saturate_online=True, dtype=str(np.dtype(dtype)),
@@ -348,6 +449,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", action="store_true")
     ap.add_argument("--roofline", action="store_true")
+    ap.add_argument("--roofline-mega", action="store_true",
+                    help="roofline/MFU of the shipped whole-run megakernel "
+                         "champions (VERDICT r4 #4) -> ROOFLINE_r05.json")
     ap.add_argument("--backend",
                     choices=["mxu", "xla", "pallas", "champion"],
                     default="mxu")
@@ -357,7 +461,9 @@ if __name__ == "__main__":
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.f64:
         jax.config.update("jax_enable_x64", True)
-    if args.roofline:
+    if args.roofline_mega:
+        roofline_mega(args.steps if args.steps != 1000 else None)
+    elif args.roofline:
         roofline(args.backend, dtype)
     elif args.configs and args.backend == "champion":
         config_ladder_champion(dtype, args.steps)
