@@ -111,10 +111,18 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
         # per-size champion windows from the library's measured ladder
         # (ops/rhs_pallas.py:resolve_champion — VERDICT r3 #3: bench reads
         # the table, it no longer owns it); resolved to concrete values
-        # here so the fallback diagnostics below mirror the actual run
+        # here so the fallback diagnostics below mirror the actual run.
+        # Mirror the streaming driver's launch-sort auto rule so sorted
+        # multi-launch runs pick the narrower W2=48 champion
         from msgwam_tpu.ops.rhs_pallas import resolve_champion
+        from msgwam_tpu.ops.step_pallas_stream import LAUNCH_SORT_MIN
 
-        ch = resolve_champion(n_ray)
+        multi = bool(save_every) and save_every < n_steps
+        sort_on = (launch_sort == "on"
+                   or (launch_sort == "auto" and n_ray >= LAUNCH_SORT_MIN
+                       and multi))
+        ch = resolve_champion(n_ray,
+                              sorted_multi_launch=multi and sort_on)
         w1, w2 = ch["window_cells"], ch["window_cells2"]
     cfg, bg, state, statics = _setup(n_ray, backend, accum, w2, w1,
                                      hprop=hprop, sat=sat)

@@ -94,7 +94,8 @@ def resolve_window_cells(cfg, c_pad: int) -> tuple:
     return w1, w2
 
 
-def resolve_champion(n_ray: int, lifecycle: bool = False) -> dict:
+def resolve_champion(n_ray: int, lifecycle: bool = False,
+                     sorted_multi_launch: bool = False) -> dict:
     """The measured-champion kernel settings for the megakernel family at
     a given problem size: ``{"window_cells", "window_cells2", "tile_rows"}``.
 
@@ -105,7 +106,7 @@ def resolve_champion(n_ray: int, lifecycle: bool = False) -> dict:
     path, and by ``bench.py``.
 
     Measured ladder (TPU v5e, benchmarks/WORKLIST_r03.jsonl +
-    BENCH_MATRIX.json):
+    BENCH_MATRIX.json + W_RESWEEP_r05.jsonl):
 
     * ``n_ray <= 200_000`` (VMEM-resident regime): W=24.  W=16 drops more
       8192-ray blocks to the full-width path (fallback 54% vs 46%), so the
@@ -114,6 +115,15 @@ def resolve_champion(n_ray: int, lifecycle: bool = False) -> dict:
     * ``n_ray > 200_000`` (HBM-streaming regime): W=16 with a 96-cell
       second tier that catches the dispersive 80-100-cell span tail
       (1.55e9 vs 1.47e9 at 1e6).
+    * ``sorted_multi_launch=True`` (streaming runs with launch-boundary
+      height re-sorts, i.e. ``n_steps > save_every`` and the sort on):
+      the re-sorts keep the internal layout coherent enough (fallback
+      0.24 at 1e6 / 0.07 at 1e7, zero exact-full-width blocks) that a
+      narrower 48-cell second tier wins: +11% at 1e6 (1.97e9 vs 1.77e9)
+      and +2.5% at 1e7 (2.28e9 vs 2.22e9), round-5 sweep.  Single-launch
+      whole-run kernels keep W2=96 (measured OPPOSITE there: 1.83e9 vs
+      1.79e9 at 1e6 — 1000 steps of unsorted coherence decay reach the
+      80-100-cell tail that 48 hands to the 128-wide full path).
 
     ``tile_rows`` is the streamed-tile height (ignored by the resident
     kernel); see :func:`~msgwam_tpu.ops.step_pallas_stream._auto_tile_rows`
@@ -121,6 +131,8 @@ def resolve_champion(n_ray: int, lifecycle: bool = False) -> dict:
     """
     if n_ray <= 200_000:
         w1, w2 = 24, 0
+    elif sorted_multi_launch:
+        w1, w2 = 16, 48
     else:
         w1, w2 = 16, 96
     from .step_pallas_stream import _auto_tile_rows
@@ -129,14 +141,16 @@ def resolve_champion(n_ray: int, lifecycle: bool = False) -> dict:
             "tile_rows": _auto_tile_rows(n_ray, lifecycle)}
 
 
-def apply_champion(cfg, n_ray: int) -> "ModelConfig":  # noqa: F821
+def apply_champion(cfg, n_ray: int,
+                   sorted_multi_launch: bool = False) -> "ModelConfig":  # noqa: F821
     """Resolve the ``window_cells``/``window_cells2`` auto sentinels (-1)
     against the measured champion ladder for ``n_ray`` rays.  Explicit
     non-negative settings are honored unchanged; returns ``cfg`` itself
     when nothing is auto."""
     upd = {}
     if cfg.window_cells < 0 or cfg.window_cells2 < 0:
-        ch = resolve_champion(n_ray, lifecycle=cfg.cull or cfg.relaunch)
+        ch = resolve_champion(n_ray, lifecycle=cfg.cull or cfg.relaunch,
+                              sorted_multi_launch=sorted_multi_launch)
         if cfg.window_cells < 0:
             upd["window_cells"] = ch["window_cells"]
         if cfg.window_cells2 < 0:

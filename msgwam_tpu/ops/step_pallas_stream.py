@@ -1083,10 +1083,18 @@ def simulate_streaming(state, statics, bg, cfg, run, include_t0: bool = False,
     rays, mean = state.rays, state.mean
     n = rays.r.shape[0]
     # resolve the window auto sentinels (-1) against the measured champion
-    # ladder for this problem size (rhs_pallas.resolve_champion)
+    # ladder for this problem size (rhs_pallas.resolve_champion).  The
+    # launch-sort auto rule below must be mirrored here: sorted
+    # multi-launch runs take the narrower 48-cell second tier (the
+    # boundary re-sorts keep the internal layout coherent — round-5
+    # W-sweep, W_RESWEEP_r05.jsonl)
     from .rhs_pallas import apply_champion
 
-    cfg = apply_champion(cfg, n)
+    _multi = run.n_steps > run.save_every
+    _sorted = (launch_sort if launch_sort is not None
+               else (n >= LAUNCH_SORT_MIN and _multi))
+    cfg = apply_champion(cfg, n,
+                         sorted_multi_launch=bool(_sorted) and _multi)
     if tile_rows <= 0:
         tile_rows = _auto_tile_rows(n, lifecycle=cfg.cull or cfg.relaunch)
     params, n_tab, n_flux_cells, c_pad, w_cells, w2_cells = \

@@ -93,6 +93,13 @@ def test_resolve_champion_ladder():
     assert (small["window_cells"], small["window_cells2"]) == (24, 0)
     big = resolve_champion(1_000_000)
     assert (big["window_cells"], big["window_cells2"]) == (16, 96)
+    # sorted multi-launch streaming runs: narrower second tier (round-5
+    # W-sweep: boundary re-sorts keep the layout coherent, W2=48 wins)
+    srt = resolve_champion(1_000_000, sorted_multi_launch=True)
+    assert (srt["window_cells"], srt["window_cells2"]) == (16, 48)
+    # the resident regime ignores the flag (no streaming launch sort)
+    srt_small = resolve_champion(100_000, sorted_multi_launch=True)
+    assert (srt_small["window_cells"], srt_small["window_cells2"]) == (24, 0)
     # tile height mirrors _auto_tile_rows, incl. the lifecycle derate
     assert big["tile_rows"] == 192
     assert resolve_champion(1_000_000, lifecycle=True)["tile_rows"] == 128
