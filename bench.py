@@ -276,7 +276,8 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
     return result
 
 
-def run_grad(n_ray: int, n_steps: int = 100, remat: bool = True) -> dict:
+def run_grad(n_ray: int, n_steps: int = 100, remat: bool = True,
+             alpha_scale: float = 1.0) -> dict:
     """Adjoint benchmark (VERDICT r3 #2): time ``jax.grad`` of a
     wind-response loss through the fully coupled run (scan path — the
     pallas kernels' custom VJPs route their backward here anyway) and
@@ -294,8 +295,21 @@ def run_grad(n_ray: int, n_steps: int = 100, remat: bool = True) -> dict:
     this, 1e6 rays = 10x the physical forcing, the coupled wind feedback
     blows the forward up within ~100 steps, and the gradient is Inf — a
     physics fact about over-forcing, not a numerics bug (measured: loss
-    94 -> 1.4e5 between steps 50 and 100 at 1e6, unnormalized)."""
-    alpha = 0.003 * min(1.0, (1e5 / n_ray) ** 0.5)
+    94 -> 1.4e5 between steps 50 and 100 at 1e6, unnormalized).
+
+    ``alpha_scale`` further scales the launch amplitude for LONG-horizon
+    rows: at the default forcing the adjoint of the saturation-coupled
+    system grows ~x2/step once strong breaking sets in (~step 120;
+    measured, tools/grad_blowup_probe.py + benchmarks/RESULTS.md round
+    5), so a 720-step gradient overflows even in f64 — a property of the
+    linearized physics (thresholded breaking + wind feedback), not of
+    the implementation (the 100-step gradient is FD-validated,
+    tests/test_autodiff.py).  Full-day rows run at ``alpha_scale=0.1``
+    (1% of default forcing power), where the day-long linearization
+    stays bounded; the timing is forcing-independent.  Non-finite
+    gradients are recorded as ``"gradient_finite": false`` in the row —
+    a measured outcome, not a harness failure."""
+    alpha = 0.003 * alpha_scale * min(1.0, (1e5 / n_ray) ** 0.5)
     cfg, bg, state, statics = _setup(n_ray, "mxu", "native", alpha=alpha)
     save = max(1, round(n_steps ** 0.5))
     while n_steps % save:
@@ -327,8 +341,9 @@ def run_grad(n_ray: int, n_steps: int = 100, remat: bool = True) -> dict:
 
     t_fwd, _ = _time(fwd, state.rays.dens)
     t_grad, g = _time(grad, state.rays.dens)
-    assert bool(jnp.all(jnp.isfinite(g))), "gradient blew up"
-    assert float(jnp.max(jnp.abs(g))) > 0.0, "gradient identically zero"
+    finite = bool(jnp.all(jnp.isfinite(g)))
+    if finite:
+        assert float(jnp.max(jnp.abs(g))) > 0.0, "gradient identically zero"
     try:
         peak = jax.local_devices()[0].memory_stats()["peak_bytes_in_use"]
     except (AttributeError, KeyError, TypeError):
@@ -344,7 +359,10 @@ def run_grad(n_ray: int, n_steps: int = 100, remat: bool = True) -> dict:
         "forward_s": round(t_fwd, 4),
         "grad_s": round(t_grad, 4),
         "bwd_fwd_ratio": round(t_grad / t_fwd, 2),
+        "gradient_finite": finite,
     }
+    if alpha_scale != 1.0:
+        result["alpha_scale"] = alpha_scale
     if peak is not None:
         result["peak_hbm_gb"] = round(peak / 2**30, 2)
     return result
@@ -487,6 +505,13 @@ def cli(argv=None):
                          "bandwidth-bound on 99-wide residuals); on = "
                          "per-block only, off = none (OOMs at 1e6 beyond "
                          "a few hundred steps)")
+    ap.add_argument("--grad-alpha-scale", type=float, default=1.0,
+                    help="launch-amplitude scale for --grad long-horizon "
+                         "rows: at the default forcing the adjoint of the "
+                         "saturation-coupled run grows ~2x/step past "
+                         "~step 120 and overflows (measured — RESULTS.md "
+                         "round 5); 0.1 keeps a full simulated day "
+                         "bounded")
     args = ap.parse_args(argv)
     enable_persistent_compile_cache()  # after parsing: --help stays cheap
     if args.grad:
@@ -499,7 +524,8 @@ def cli(argv=None):
             remat = "full"  # measured fastest at every size (see --help)
         print(json.dumps(run_grad(args.n_ray, steps,
                                   remat={"on": True, "off": False}.get(
-                                      remat, remat))))
+                                      remat, remat),
+                                  alpha_scale=args.grad_alpha_scale)))
     elif args.matrix:
         run_matrix(args.steps)  # writes BENCH_MATRIX.json incrementally
         print("wrote benchmarks/BENCH_MATRIX.json", file=sys.stderr)
