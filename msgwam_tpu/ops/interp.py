@@ -67,19 +67,107 @@ def basis_matrix(x, x0, dx, n):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def basis_interp(x, x0, dx, tables):
-    """Interpolate one or more stacked ``(n_table,)`` / ``(n_table, k)``
-    tables at query points ``x`` via :func:`basis_matrix` (one matmul)."""
-    tables = jnp.asarray(tables)
-    squeeze = tables.ndim == 1
-    if squeeze:
-        tables = tables[:, None]
+def _basis_interp_raw(x, x0, dx, tables):
     B = basis_matrix(x, x0, dx, tables.shape[0])
-    out = jax.lax.dot_general(
+    return jax.lax.dot_general(
         B, tables,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=tables.dtype,
     )
+
+
+@jax.custom_vjp
+def _basis_interp_2d(x, x0, dx, tables):
+    """``basis_matrix(x) @ tables`` with a hand-written VJP.
+
+    Why not plain autodiff: the VJP of the fused basis-build-plus-matmul
+    needs ``B`` for the tables cotangent, so XLA materializes the
+    ``(n_query, n_table)`` basis matrix as a residual — ~400 MB per call
+    at 1e6 rays (f32, 100 cells).  With six such interps per RK3 step
+    the adjoint becomes residual-bandwidth-bound: measured x = 3.83
+    forward-equivalents for the bare-RHS per-step transpose
+    (benchmarks/ADJOINT_PROFILE_r05.json).  This VJP stores only ``x``
+    and ``tables`` and REBUILDS the bases in the backward (fused
+    elementwise + matmul, nothing round-trips HBM):
+
+    * tables cotangent:  Bᵀ(x) @ ct        (one rebuilt-basis matmul)
+    * query cotangent:   ct ⊙ (B'(x) @ tables) / dx — the derivative of
+      clamped linear interpolation is the interp of the hat-derivative
+      basis B'[i,j] = -sign(t_ij)·1{|t_ij|<1}, zeroed where the clip is
+      active (outside the grid the clamped value is constant)
+    * x0/dx cotangents: reductions of the same ct ⊙ (B' @ tables)
+      product (∂u/∂x0 = -1/dx, ∂u/∂dx = -(x-x0)/dx² inside; both zero
+      under an active clip)
+
+    Kink convention at the hat peak/edges matches JAX's ``abs``/``max``
+    subgradients (sign(0)=0, half-open window) — measure-zero points;
+    the forward is bit-identical to the autodiff path.
+    """
+    return _basis_interp_raw(x, x0, dx, tables)
+
+
+def _basis_interp_fwd(x, x0, dx, tables):
+    return _basis_interp_raw(x, x0, dx, tables), (x, x0, dx, tables)
+
+
+def _basis_interp_bwd(res, ct):
+    x, x0, dx, tables = res
+    n = tables.shape[0]
+    hi = x0 + (n - 1) * dx
+    xc = jnp.clip(x, x0, hi)
+    t = (xc[:, None] - x0) / dx - jnp.arange(n, dtype=x.dtype)[None, :]
+    B = jnp.maximum(0.0, 1.0 - jnp.abs(t))
+    # tables cotangent: Bᵀ @ ct, basis rebuilt (no stored residual)
+    ct_tables = jax.lax.dot_general(
+        B, ct,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=tables.dtype,
+    )
+    # hat-derivative basis, matching JAX's kink subgradients exactly so
+    # the custom VJP is bit-compatible with autodiff even at on-node
+    # queries (measured conventions: abs'(0) = 1, maximum ties -> 0.5):
+    # d hat/d u = -sgn(u) on |u| < 1 (sgn(0) := +1), -0.5 sgn(u) at
+    # |u| = 1, zero beyond
+    sgn = jnp.where(t >= 0, 1.0, -1.0).astype(t.dtype)
+    at = jnp.abs(t)
+    dB = jnp.where(at < 1.0, -sgn, jnp.where(at == 1.0, -0.5 * sgn, 0.0))
+    G = jax.lax.dot_general(
+        dB, tables,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=tables.dtype,
+    )  # (n_query, k): ∂out/∂u per query, summed over nothing yet
+    ctG = jnp.sum(ct * G, axis=1)  # (n_query,)
+    # clip factor: 1 inside, 0.5 exactly on a boundary (JAX's clip tie
+    # convention), 0 outside — one factor serves the x, x0, AND dx
+    # cotangents (the tie algebra works out identically for all three)
+    clipf = jnp.where((x > x0) & (x < hi), 1.0,
+                      jnp.where((x == x0) | (x == hi), 0.5, 0.0))
+    ctG = ctG * clipf.astype(ctG.dtype)
+    ct_x = ctG / dx
+    ct_x0 = -jnp.sum(ctG) / dx
+    ct_dx = -jnp.sum(ctG * (xc - x0)) / (dx * dx)
+    return (ct_x.astype(x.dtype),
+            ct_x0.astype(jnp.asarray(x0).dtype),
+            ct_dx.astype(jnp.asarray(dx).dtype),
+            ct_tables)
+
+
+_basis_interp_2d.defvjp(_basis_interp_fwd, _basis_interp_bwd)
+
+
+def basis_interp(x, x0, dx, tables):
+    """Interpolate one or more stacked ``(n_table,)`` / ``(n_table, k)``
+    tables at query points ``x`` via :func:`basis_matrix` (one matmul).
+    Carries a residual-free custom VJP (see :func:`_basis_interp_2d`) —
+    gradients rebuild the basis instead of storing the
+    ``(n_query, n_table)`` matrix."""
+    tables = jnp.asarray(tables)
+    x = jnp.asarray(x)
+    squeeze = tables.ndim == 1
+    if squeeze:
+        tables = tables[:, None]
+    out = _basis_interp_2d(x, jnp.asarray(x0, x.dtype),
+                           jnp.asarray(dx, x.dtype), tables)
     return out[:, 0] if squeeze else out
 
 
