@@ -177,6 +177,81 @@ def project(values, r_low, r_up, phase_vol, valid, grid, max_span: int,
     return out[:n_cells].T
 
 
+def _dense_weights(r_low, r_up, phase_vol, valid, grid):
+    """The dense per-(ray, cell) overlap-weight matrix ``w`` such that the
+    deposit is ``values @ w`` — factored out so the custom VJP below can
+    REBUILD it in the backward instead of storing it."""
+    n_points = grid.shape[0]
+    n_cells = n_points - 1
+    dz = grid[1] - grid[0]
+    nlow, nup, in_domain = _cell_spans(r_low, r_up, dz, n_points)
+    ok = in_domain if valid is None else (valid & in_domain)
+    c = jnp.arange(n_cells, dtype=jnp.int32)
+    in_span = (c[None, :] >= nlow[:, None]) & (c[None, :] < nup[:, None])
+    zmin = jnp.maximum(grid[:-1][None, :], r_low[:, None])
+    zmax = jnp.minimum(grid[1:][None, :], r_up[:, None])
+    w = jnp.abs(zmax - zmin) / dz
+    return jnp.where(in_span & ok[:, None], w, 0.0) * phase_vol[:, None]
+
+
+@jax.custom_vjp
+def _dense_deposit(values, r_low, r_up, phase_vol, valid, grid):
+    """``values @ _dense_weights(...)`` with a residual-free VJP.
+
+    Stores only the small primal inputs and rebuilds the ``(n, n_cells)``
+    weight matrix in the backward; the cotangents of the weight
+    construction itself (r_low/r_up/phase_vol/grid, piecewise through the
+    clamp/span logic) are delegated to a nested ``jax.vjp`` of
+    :func:`_dense_weights` evaluated inside the backward — identical
+    conventions to plain autodiff by construction
+    (tests/test_projection.py).
+
+    Honest scope note: unlike the analogous interp VJP
+    (``ops/interp.py:_basis_interp_2d``, measured −22% on the per-step
+    transpose), this one measured *timing-neutral* at 1e6 rays — XLA was
+    evidently already rematerializing the weight build into the backward
+    for this graph (per-step fwd+bwd 9.56 ms before and after;
+    benchmarks/ADJOINT_PROFILE_r05.json).  It is kept because it makes
+    that rematerialization a *guarantee* rather than a scheduler choice:
+    the ~400 MB/deposit residual can never reappear under a different
+    fusion decision, jax version, or problem shape.
+    """
+    w = _dense_weights(r_low, r_up, phase_vol, valid, grid)
+    return jax.lax.dot_general(
+        values, w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=values.dtype,
+    )
+
+
+def _dense_deposit_fwd(values, r_low, r_up, phase_vol, valid, grid):
+    out = _dense_deposit(values, r_low, r_up, phase_vol, valid, grid)
+    return out, (values, r_low, r_up, phase_vol, valid, grid)
+
+
+def _dense_deposit_bwd(res, ct):
+    values, r_low, r_up, phase_vol, valid, grid = res
+    w, vjp_w = jax.vjp(
+        lambda rl, ru, pv, g: _dense_weights(rl, ru, pv, valid, g),
+        r_low, r_up, phase_vol, grid,
+    )
+    ct_values = jax.lax.dot_general(
+        ct, w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=values.dtype,
+    )                                                       # (nvar, n)
+    ct_w = jax.lax.dot_general(
+        values, ct,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=values.dtype,
+    )                                                       # (n, n_cells)
+    ct_rl, ct_ru, ct_pv, ct_grid = vjp_w(ct_w)
+    return ct_values, ct_rl, ct_ru, ct_pv, None, ct_grid
+
+
+_dense_deposit.defvjp(_dense_deposit_fwd, _dense_deposit_bwd)
+
+
 def project_dense(values, r_low, r_up, phase_vol, valid, grid, max_span=None,
                   accum: str = "native"):
     """MXU projection backend: the deposit is a *dense* weight matrix
@@ -203,25 +278,12 @@ def project_dense(values, r_low, r_up, phase_vol, valid, grid, max_span=None,
     relative at 1e6 float32 rays vs 4.4e-6 for the plain f32 contraction.
     """
     values = jnp.atleast_2d(values)
-    n_points = grid.shape[0]
-    n_cells = n_points - 1
-    dz = grid[1] - grid[0]
-    nlow, nup, in_domain = _cell_spans(r_low, r_up, dz, n_points)
-    ok = in_domain if valid is None else (valid & in_domain)
-
-    c = jnp.arange(n_cells, dtype=jnp.int32)
-    in_span = (c[None, :] >= nlow[:, None]) & (c[None, :] < nup[:, None])
-    zmin = jnp.maximum(grid[:-1][None, :], r_low[:, None])
-    zmax = jnp.minimum(grid[1:][None, :], r_up[:, None])
-    w = jnp.abs(zmax - zmin) / dz
-    w = jnp.where(in_span & ok[:, None], w, 0.0) * phase_vol[:, None]
+    n_cells = grid.shape[0] - 1
     if accum == "native":
-        return jax.lax.dot_general(
-            values, w,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=values.dtype,
-        )
+        # residual-free custom VJP (the adjoint fast path)
+        return _dense_deposit(values, r_low, r_up, phase_vol, valid, grid)
 
+    w = _dense_weights(r_low, r_up, phase_vol, valid, grid)
     nvar, n = values.shape
     nb = n // ACCUM_BLOCK
     parts = []

@@ -235,3 +235,44 @@ def test_accum_modes_preserve_exactness_in_f64(rng):
                                        jnp.asarray(pv), valid, grid,
                                        accum=accum))
         np.testing.assert_allclose(out, ref, rtol=1e-13, atol=1e-16)
+
+
+def test_dense_deposit_custom_vjp_matches_autodiff(rng):
+    """project_dense's residual-free custom VJP (the (n, n_cells) weight
+    matrix is rebuilt in the backward instead of stored — the residual
+    that made the adjoint bandwidth-bound, ADJOINT_PROFILE_r05.json)
+    must match plain autodiff of the same construction for every
+    differentiable argument: values, r_low, r_up, phase_vol, grid."""
+    import jax
+    from msgwam_tpu.ops.projection import _dense_weights, project_dense
+
+    n = 3000
+    r = rng.uniform(1e3, 80e3, n)
+    dr = rng.uniform(300.0, 3000.0, n)
+    vals = jnp.asarray(rng.normal(0.0, 1.0, (2, n)))
+    pv = jnp.abs(jnp.asarray(rng.normal(1e-12, 1e-13, n)))
+    grid = jnp.linspace(0.0, 100e3, 101)
+    rl, ru = jnp.asarray(r - 0.5 * dr), jnp.asarray(r + 0.5 * dr)
+    valid = jnp.asarray(rng.random(n) > 0.1)
+
+    def raw(v, rl_, ru_, pv_, g_):
+        w = _dense_weights(rl_, ru_, pv_, valid, g_)
+        return jax.lax.dot_general(
+            v, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=v.dtype)
+
+    cv = lambda v, rl_, ru_, pv_, g_: project_dense(
+        v, rl_, ru_, pv_, valid, g_, accum="native")
+
+    args = (vals, rl, ru, pv, grid)
+    out_c, vjp_c = jax.vjp(cv, *args)
+    out_r, vjp_r = jax.vjp(raw, *args)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_r),
+                               rtol=1e-14)
+    ct = jnp.asarray(rng.standard_normal(out_c.shape))
+    for got, want, name in zip(vjp_c(ct), vjp_r(ct),
+                               ("values", "r_low", "r_up", "phase_vol",
+                                "grid")):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-12, atol=1e-15,
+            err_msg=f"cotangent mismatch for {name}")
