@@ -252,7 +252,13 @@ def test_dense_deposit_custom_vjp_matches_autodiff(rng):
     vals = jnp.asarray(rng.normal(0.0, 1.0, (2, n)))
     pv = jnp.abs(jnp.asarray(rng.normal(1e-12, 1e-13, n)))
     grid = jnp.linspace(0.0, 100e3, 101)
-    rl, ru = jnp.asarray(r - 0.5 * dr), jnp.asarray(r + 0.5 * dr)
+    rl_np, ru_np = r - 0.5 * dr, r + 0.5 * dr
+    # exact ties with grid values: the max/min tie subgradients (0.5/0.5
+    # split) must match autodiff's convention too
+    rl_np[:40] = np.asarray(grid)[rng.integers(1, 80, 40)]
+    ru_np[40:80] = np.asarray(grid)[rng.integers(1, 80, 40)]
+    ru_np = np.maximum(ru_np, rl_np + 10.0)
+    rl, ru = jnp.asarray(rl_np), jnp.asarray(ru_np)
     valid = jnp.asarray(rng.random(n) > 0.1)
 
     def raw(v, rl_, ru_, pv_, g_):
