@@ -135,7 +135,7 @@ def roofline(backend, dtype, max_n=10_000_000):
         n *= 10
 
 
-def roofline_mega(steps_override=None):
+def roofline_mega(steps_override=None, sorted_rows=False):
     """Roofline / MFU of the SHIPPED megakernel champions (VERDICT r4 #4)
     — the round-2 table above measured the then-current fused-RHS kernel;
     this measures the whole-run megakernels exactly as ``bench.py`` runs
@@ -176,14 +176,27 @@ def roofline_mega(steps_override=None):
           f"VPU {PEAK_VPU_OPS:.2e} elem-ops/s")
     print(f"{'nray':>9} {'ms/step':>9} {'HBM GB/s':>9} {'%HBM':>6} "
           f"{'W_eff':>11} {'VPU Tops/s':>11} {'%VPU':>6} {'headroom':>9}")
-    for n, steps in ((100_000, bench.N_STEPS),
+    if sorted_rows:
+        # the round-5 sorted multi-launch champions (W2=48,
+        # resolve_champion(sorted_multi_launch=True)): 1000-step launches
+        # with boundary re-sorts; the end-of-run W_eff uses the INTERNAL
+        # (sorted) layout's measured rates — that is the layout the
+        # kernel iterates over
+        rows_spec = ((1_000_000, 5000), (10_000_000, 3000))
+    else:
+        rows_spec = ((100_000, bench.N_STEPS),
                      (1_000_000, bench.N_STEPS_BIG),
-                     (10_000_000, bench.N_STEPS_BIG)):
+                     (10_000_000, bench.N_STEPS_BIG))
+    for n, steps in rows_spec:
         if steps_override:
             steps = steps_override
-        r = bench.run_one(n, steps, "mega", fallback=True)
+        if sorted_rows:
+            r = bench.run_one(n, steps, "mega", fallback=True,
+                              save_every=1000, launch_sort="on")
+        else:
+            r = bench.run_one(n, steps, "mega", fallback=True)
         t_step = n / r["value"]
-        ch = resolve_champion(n)
+        ch = resolve_champion(n, sorted_multi_launch=sorted_rows)
         cfg, bg, state, statics = bench._setup(
             n, "mega", "native", ch["window_cells2"], ch["window_cells"])
         wcfg = cfg
@@ -199,8 +212,14 @@ def roofline_mega(steps_override=None):
             return (1 - fb) * W1 + fb * C_PAD
 
         we0 = w_eff(float(s0.fallback_rate), float(s0.full_rate))
-        we1 = w_eff(r.get("fallback_rate_end", 0.0),
-                    r.get("full_rate_end", r.get("fallback_rate_end", 0.0)))
+        if sorted_rows:
+            # internal (launch-sorted) layout rates: what the kernel saw
+            we1 = w_eff(r.get("fallback_rate_end_internal", 0.0),
+                        r.get("full_rate_end_internal", 0.0))
+        else:
+            we1 = w_eff(r.get("fallback_rate_end", 0.0),
+                        r.get("full_rate_end",
+                              r.get("fallback_rate_end", 0.0)))
         we = 0.5 * (we0 + we1)
         vpu_ops = 3 * n * (20 * we + 60)
         hbm_bytes = 240 * n if streaming else 0
@@ -229,11 +248,12 @@ def roofline_mega(steps_override=None):
               f"{we0:>4.0f}->{we1:<4.0f} {vpu/1e12:>11.2f} "
               f"{row['vpu_pct_peak']:>5.1f}% {row['headroom_x']:>8.2f}x",
               flush=True)
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "ROOFLINE_r05.json")
+        name = ("ROOFLINE_SORTED_r05.json" if sorted_rows
+                else "ROOFLINE_r05.json")
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
         with open(out, "w") as fjson:
             json.dump(rows, fjson, indent=1)
-    print("wrote benchmarks/ROOFLINE_r05.json")
+    print(f"wrote benchmarks/{name}")
 
 
 def scaling_table(backend, dtype):
@@ -452,6 +472,10 @@ if __name__ == "__main__":
     ap.add_argument("--roofline-mega", action="store_true",
                     help="roofline/MFU of the shipped whole-run megakernel "
                          "champions (VERDICT r4 #4) -> ROOFLINE_r05.json")
+    ap.add_argument("--sorted", action="store_true",
+                    help="with --roofline-mega: the sorted multi-launch "
+                         "champions (W2=48, 1000-step launches) -> "
+                         "ROOFLINE_SORTED_r05.json")
     ap.add_argument("--backend",
                     choices=["mxu", "xla", "pallas", "champion"],
                     default="mxu")
@@ -462,7 +486,8 @@ if __name__ == "__main__":
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     if args.roofline_mega:
-        roofline_mega(args.steps if args.steps != 1000 else None)
+        roofline_mega(args.steps if args.steps != 1000 else None,
+                      sorted_rows=args.sorted)
     elif args.roofline:
         roofline(args.backend, dtype)
     elif args.configs and args.backend == "champion":

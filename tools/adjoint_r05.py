@@ -46,6 +46,10 @@ ROWS = [
     (1_000_000, 720, 0.1),
     (1_000_000, 1440, 0.1),
     (1_000_000, 720, 1.0),
+    # 1e7-ray capacity point: 64 steps is the largest sqrt-schedule that
+    # fits 16 GB HBM (100 steps needs 20 state snapshots ~ 10.4 GB plus
+    # working set — measured OOM at 19.3 GB); 64 -> 16 snapshots, fits
+    (10_000_000, 64, 1.0),
 ]
 
 
