@@ -277,7 +277,7 @@ def run_one(n_ray: int = N_RAY, n_steps: int = N_STEPS,
 
 
 def run_grad(n_ray: int, n_steps: int = 100, remat: bool = True,
-             alpha_scale: float = 1.0) -> dict:
+             alpha_scale: float = 1.0, backend: str = "mxu") -> dict:
     """Adjoint benchmark (VERDICT r3 #2): time ``jax.grad`` of a
     wind-response loss through the fully coupled run (scan path — the
     pallas kernels' custom VJPs route their backward here anyway) and
@@ -310,7 +310,7 @@ def run_grad(n_ray: int, n_steps: int = 100, remat: bool = True,
     gradients are recorded as ``"gradient_finite": false`` in the row —
     a measured outcome, not a harness failure."""
     alpha = 0.003 * alpha_scale * min(1.0, (1e5 / n_ray) ** 0.5)
-    cfg, bg, state, statics = _setup(n_ray, "mxu", "native", alpha=alpha)
+    cfg, bg, state, statics = _setup(n_ray, backend, "native", alpha=alpha)
     save = max(1, round(n_steps ** 0.5))
     while n_steps % save:
         save -= 1
@@ -342,8 +342,9 @@ def run_grad(n_ray: int, n_steps: int = 100, remat: bool = True,
     t_fwd, _ = _time(fwd, state.rays.dens)
     t_grad, g = _time(grad, state.rays.dens)
     finite = bool(jnp.all(jnp.isfinite(g)))
+    gmax = float(jnp.max(jnp.where(jnp.isfinite(g), jnp.abs(g), 0.0)))
     if finite:
-        assert float(jnp.max(jnp.abs(g))) > 0.0, "gradient identically zero"
+        assert gmax > 0.0, "gradient identically zero"
     try:
         peak = jax.local_devices()[0].memory_stats()["peak_bytes_in_use"]
     except (AttributeError, KeyError, TypeError):
@@ -360,6 +361,7 @@ def run_grad(n_ray: int, n_steps: int = 100, remat: bool = True,
         "grad_s": round(t_grad, 4),
         "bwd_fwd_ratio": round(t_grad / t_fwd, 2),
         "gradient_finite": finite,
+        "grad_max_abs": gmax,
     }
     if alpha_scale != 1.0:
         result["alpha_scale"] = alpha_scale
@@ -522,10 +524,18 @@ def cli(argv=None):
         remat = args.grad_remat
         if remat == "auto":
             remat = "full"  # measured fastest at every size (see --help)
+        # --backend pallasw runs the adjoint's forwards (primal + the two
+        # remat replays) through the fused windowed kernel — measured
+        # +26% end-to-end at 1e6 (the custom-vjp backward transposes the
+        # equivalent XLA path either way); mega has no scan-path grad,
+        # so the default maps to the mxu reference path
+        gbackend = args.backend if args.backend in ("mxu", "xla",
+                                                    "pallasw") else "mxu"
         print(json.dumps(run_grad(args.n_ray, steps,
                                   remat={"on": True, "off": False}.get(
                                       remat, remat),
-                                  alpha_scale=args.grad_alpha_scale)))
+                                  alpha_scale=args.grad_alpha_scale,
+                                  backend=gbackend)))
     elif args.matrix:
         run_matrix(args.steps)  # writes BENCH_MATRIX.json incrementally
         print("wrote benchmarks/BENCH_MATRIX.json", file=sys.stderr)

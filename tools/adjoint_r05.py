@@ -33,7 +33,7 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "benchmarks", "ADJOINT_r05.json")
 
 ROWS = [
-    # (n_ray, n_steps, alpha_scale).  100-step rows at default forcing
+    # (n_ray, n_steps, alpha_scale[, backend]).  100-step rows at default
     # (continuity with ADJOINT_r04); full-day/full-experiment rows at
     # alpha_scale=0.1 — at default forcing the adjoint grows ~2x/step
     # past ~step 120 and overflows (measured; RESULTS.md round 5), so
@@ -50,6 +50,16 @@ ROWS = [
     # fits 16 GB HBM (100 steps needs 20 state snapshots ~ 10.4 GB plus
     # working set — measured OOM at 19.3 GB); 64 -> 16 snapshots, fits
     (10_000_000, 64, 1.0),
+    # pallasw-forward rows: the fused windowed kernel runs the primal and
+    # both remat replays ~2.8x faster; the custom-vjp backward transposes
+    # the equivalent XLA path either way.  Measured +26% end-to-end.
+    # Long-horizon forcing is 0.05x here, not 0.1x: 0.1x sits on a knife
+    # edge (mxu max|g| = 577 at 720 steps; the fused kernel's different
+    # f32 rounding tips the same config non-finite), and halving the
+    # forcing drops max|g| to 0.014 — measured, RESULTS.md round 5.
+    (1_000_000, 100, 1.0, "pallasw"),
+    (1_000_000, 720, 0.05, "pallasw"),
+    (1_000_000, 1440, 0.05, "pallasw"),
 ]
 
 
@@ -57,10 +67,14 @@ def main():
     from msgwam_tpu.utils.xla import enable_persistent_compile_cache
     enable_persistent_compile_cache()
     results = []
-    for n_ray, n_steps, scale in ROWS:
+    for row in ROWS:
+        n_ray, n_steps, scale = row[:3]
+        backend = row[3] if len(row) > 3 else "mxu"
         try:
             r = bench.run_grad(n_ray, n_steps, remat="full",
-                               alpha_scale=scale)
+                               alpha_scale=scale, backend=backend)
+            if backend != "mxu":
+                r["backend"] = backend
         except Exception as e:
             r = {"metric": f"adjoint at {n_ray:,} rays, {n_steps} steps",
                  "error": f"{type(e).__name__}: {e}"}
