@@ -60,6 +60,7 @@ ROWS = [
     (1_000_000, 100, 1.0, "pallasw"),
     (1_000_000, 720, 0.05, "pallasw"),
     (1_000_000, 1440, 0.05, "pallasw"),
+    (10_000_000, 64, 1.0, "pallasw"),
 ]
 
 
